@@ -1,0 +1,49 @@
+"""Per-table replication config — the engine's public extension point.
+
+The reference requires a hand-written C struct + five callbacks per table,
+registered in a compile-time array (/root/reference/src/slave/
+rs_register_tables.c:6-36, exemplar rs_mysql_test_test.c:102-118). Here a
+table is a dataclass in a dict: key columns, LWW ordering, delete policy,
+optional vectorized transform. Adding a table = adding a dict entry, no
+recompile.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class TableConfig:
+    """Replication binding for one ``db.tb``.
+
+    on_delete:
+      - ``"delete"``  — DELETE removes the key from the target.
+      - ``"ignore"``  — reference parity: the only registered handler's
+        delete callback is a no-op (/root/reference/src/slave/
+        rs_mysql_test_test.c:84-87), so replayed state never loses keys.
+    """
+
+    name: str  # "web.pages"
+    key_columns: tuple[str, ...] = ("url",)
+    # LWW order: later wins; compared lexicographically as a struct.
+    order_columns: tuple[str, ...] = ("warc_ts", "log_pos")
+    on_delete: str = "delete"
+    # Optional vectorized payload transform (e.g. html→text extraction),
+    # applied to the batch DataFrame before merge. Must be pure/deterministic.
+    transform: Callable[[DataFrame], DataFrame] | None = field(
+        default=None, compare=False
+    )
+
+    def __post_init__(self) -> None:
+        if self.on_delete not in ("delete", "ignore"):
+            raise ValueError(f"on_delete must be delete|ignore, got {self.on_delete}")
+
+
+# Default registry — the analogue of rs_register_tables.c:6-9.
+DEFAULT_TABLES: dict[str, TableConfig] = {
+    "web.pages": TableConfig(name="web.pages"),
+}

@@ -1,0 +1,148 @@
+"""Text extraction / normalization / analysis over web-page payloads.
+
+Extraction determinism contract (BASELINE.json input_hint): ``text`` must be
+byte-identical per url between the engine's vectorized UDF and the oracle's
+pure-Python fold. Both paths therefore share ONE pure function over bytes
+(``extract_text_bytes``) with no locale-, version-, or library-dependent
+behavior — ASCII-regex tag stripping + whitespace collapse + HTML entity
+subset, nothing else.
+
+Two engine implementations are provided:
+- ``with_extracted_text(df, impl='pandas')`` — Arrow-batched pandas UDF
+  (the input_hint-mandated path; pandas str ops, no per-row Python loop).
+- ``impl='sql'`` — pure JVM regexp_replace chain (whole-stage codegen,
+  fastest; used to cross-check the UDF in tests).
+
+The analysis helpers (language ID, quality score, token count,
+fingerprint) are JVM built-ins end-to-end — these run in the 100 TB hot
+path and must stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+# Fixed entity subset — deliberately tiny and version-independent.
+_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"')]
+_TAG_PAT = r"<[^>]*>"
+_WS_PAT = r"\s+"
+
+
+def extract_text_bytes(html: bytes) -> str:
+    """Pure deterministic html→text. THE spec — oracle and UDF both call
+    this logic (the UDF re-expresses it with vectorized pandas str ops)."""
+    s = html.decode("utf-8", errors="replace")
+    s = _TAG_RE.sub(" ", s)
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return _WS_RE.sub(" ", s).strip()
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched extraction: vectorized pandas string ops over the whole
+    batch (no per-row Python function calls)."""
+    s = html.map(lambda b: b.decode("utf-8", "replace") if b is not None else None)
+    s = s.str.replace(_TAG_PAT, " ", regex=True)
+    for ent, ch in _ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    return s.str.replace(_WS_PAT, " ", regex=True).str.strip()
+
+
+def extract_text_sql(html: Column) -> Column:
+    """JVM-side equivalent (regexp_replace chain; whole-stage codegen)."""
+    s = F.decode(html, "UTF-8")
+    s = F.regexp_replace(s, _TAG_PAT, " ")
+    for ent, ch in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, _WS_PAT, " "))
+
+
+def with_extracted_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text", impl: str = "pandas"
+) -> DataFrame:
+    if impl == "pandas":
+        col = extract_text_udf(F.col(html_col))
+    elif impl == "sql":
+        col = extract_text_sql(F.col(html_col))
+    else:
+        raise ValueError(f"impl must be pandas|sql, got {impl}")
+    return df.withColumn(
+        out_col, F.when(F.col(html_col).isNotNull(), col).otherwise(F.lit(None))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents table / extracted text) — all JVM built-ins.
+# ---------------------------------------------------------------------------
+
+TOKEN_PAT = r"\s+"
+
+# Tiny fixed marker-word lists for the n-gram-free heuristic language ID.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|a|is|and|of)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|y|es)\b",
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count, empty/NULL-safe."""
+    trimmed = F.trim(text)
+    return F.when(
+        trimmed.isNull() | (trimmed == ""), F.lit(0)
+    ).otherwise(F.size(F.split(trimmed, TOKEN_PAT)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: F.regexp_count(F.lower(text), F.lit(pat)) for lang, pat in LANG_MARKERS.items()}
+
+
+# Fixed priority for tie-breaks — first listed wins a tie.
+LANG_PRIORITY = ("en", "de", "fr", "es")
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of marker-word hit counts; 'und' if no
+    marker hits. Ties break by LANG_PRIORITY order — a plain comparison
+    cascade so the DuckDB oracle can mirror it verbatim."""
+    s = lang_scores(text)
+    top = F.greatest(*[s[lang] for lang in LANG_PRIORITY])
+    pick = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        pick = F.when(s[lang] == top, F.lit(lang)).otherwise(pick)
+    return F.when(top > 0, pick).otherwise(F.lit("und"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features (web-corpus quality
+    scoring). All exact-arithmetic per row (no aggregation FP ambiguity)."""
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    stop_hits = F.regexp_count(F.lower(text), F.lit(r"\b(the|a|of|and|is)\b"))
+    punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "stop_hits": stop_hits,
+        "punct_hits": punct,
+        "stop_ratio": F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 4),
+        "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)), 4),
+        "avg_token_len": F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 4),
+    }
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over normalized text (lower + collapsed
+    whitespace). Stable across engines (md5 of UTF-8 bytes)."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(norm)

@@ -1,0 +1,65 @@
+"""Batch replay plan: event log → final-state table (SURVEY §3.4, M1).
+
+Replays the log one binlog file per batch (batch_id = file_seq →
+deterministic, so a re-run is idempotent end-to-end via the table ledger).
+This is the ``Trigger.AvailableNow``-shaped driver loop; the streaming
+runner (streaming/runner.py) is the same apply under foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import TableConfig
+from ..functions.text import with_extracted_text
+from ..sink.pages_table import PagesTable
+from ..sources.event_log import read_event_log
+
+
+def default_pages_config(text_impl: str = "pandas") -> TableConfig:
+    """web.pages binding: extract text from html on the winners of each
+    batch (post-dedup — extraction cost scales with unique urls per batch,
+    not raw events)."""
+
+    def transform(df: DataFrame) -> DataFrame:
+        return with_extracted_text(df, "html", "text", impl=text_impl)
+
+    return TableConfig(name="web.pages", transform=transform)
+
+
+def replay(
+    spark: SparkSession,
+    event_dir: str,
+    table_path: str,
+    cfg: TableConfig | None = None,
+    num_buckets: int = 64,
+    from_file_seq: int | None = None,
+) -> dict:
+    """Full (or resumed) replay. Returns summary metrics."""
+    cfg = cfg or default_pages_config()
+    if PagesTable.exists(table_path):
+        table = PagesTable(spark, table_path)
+    else:
+        table = PagesTable.create(spark, table_path, num_buckets=num_buckets)
+
+    events = read_event_log(spark, event_dir)
+    seqs = [
+        r[0]
+        for r in events.select("file_seq").distinct().orderBy("file_seq").collect()
+    ]
+    total_events = 0
+    batches = []
+    for seq in seqs:
+        if from_file_seq is not None and seq < from_file_seq:
+            continue
+        batch = events.filter(F.col("file_seq") == seq)
+        res = table.apply_batch(batch_id=f"fileseq-{seq}", events=batch, cfg=cfg)
+        batches.append(res)
+        total_events += res.get("events_in", 0)
+    return {
+        "n_batches": len(batches),
+        "events_applied": total_events,
+        "batches": batches,
+        "table_path": table_path,
+    }

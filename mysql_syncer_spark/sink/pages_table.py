@@ -1,0 +1,368 @@
+"""Bucket-partitioned, snapshot-versioned target table with atomic commits,
+an idempotent batch ledger, transactional schema evolution, and per-bucket
+lineage — the engine's sink (SURVEY §2.5 + §2.7 D3/D5).
+
+This is the pure-parquet stand-in for an Iceberg table (the sandbox has no
+Iceberg jars — SURVEY §4 item 5, §7.4 risk 1). It reproduces the parts of
+the Iceberg model the CDC engine depends on, so swapping in real Iceberg is
+a storage change, not a semantics change:
+
+- **Snapshot isolation / atomic commit**: every ``apply_batch`` writes new
+  data files, then commits ONE manifest JSON via atomic rename. Readers see
+  the previous complete snapshot until the rename lands. A crash between
+  data write and manifest commit leaves orphan files and no state change.
+- **Copy-on-write MERGE, bucket-pruned**: the table is hash-bucketed on the
+  key (``pmod(xxhash64(url), num_buckets)`` ≈ Iceberg ``bucket(N, url)``
+  partitioning). A batch rewrites ONLY the buckets its keys touch — at
+  10^10 rows the per-batch merge cost is proportional to touched-bucket
+  bytes, not table bytes, and the shuffle is bounded the same way.
+- **Exactly-once**: the manifest carries ``committed_batches``; re-applying
+  a committed batch_id is a no-op (the reference gets only at-least-once +
+  idempotent SET — SURVEY §3.2; this is strictly stronger). The ledger and
+  the data commit are the SAME atomic rename, so there is no window where
+  one is visible without the other.
+- **Transactional schema evolution**: a batch's DDL events mutate the
+  manifest schema/column-mapping in the same commit as its data (D3). The
+  reference only passes DDL text through (/root/reference/src/master/
+  rs_parse_binlog.c:119-185); applying it is new capability.
+- **Heartbeat**: an empty/fully-filtered batch still commits a manifest
+  (position advances with no data — /root/reference/src/master/
+  rs_filter_binlog.c:22-27 semantics).
+- **Lineage + metrics** (D5): per-bucket {writing batch, rows, files} in
+  the manifest; per-commit metrics history readable via ``metrics_history``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import TableConfig
+from ..model import DDL_DTYPES
+from ..operators.filters import op_filter, oversized_ddl_filter, table_filter
+from ..operators.merge import HIDDEN_COLS, batch_to_state, live_view, merge_state
+from ..operators.routing import split_row_and_ddl
+
+BASE_SCHEMA: list[list[str]] = [
+    ["url", "string"],
+    ["warc_ts", "timestamp"],
+    ["html", "binary"],
+    ["text", "string"],
+    ["lang", "string"],
+]
+_HIDDEN_DDL = [
+    ["_lww_ts_us", "bigint"],
+    ["_lww_pos", "bigint"],
+    ["_lww_file", "int"],
+    ["_deleted", "boolean"],
+]
+
+
+@dataclass
+class Manifest:
+    version: int
+    num_buckets: int
+    schema: list[list[str]]  # [name, spark simpleString dtype]
+    column_mapping: dict[str, str]  # wire field -> target column
+    renames: list[list[str]]  # accumulated [old, new]
+    buckets: dict[str, str]  # bucket id (str) -> data dir (relative)
+    committed_batches: list[str]
+    lineage: dict[str, dict]  # bucket id -> {batch_id, rows}
+    metrics: dict
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        return Manifest(**json.loads(s))
+
+
+class PagesTable:
+    """One replicated target table (the analogue of a registered handler +
+    its Redis keyspace, /root/reference/src/slave/rs_register_tables.c:6-9).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        num_buckets: int = 64,
+        schema: list[list[str]] | None = None,
+    ) -> "PagesTable":
+        os.makedirs(os.path.join(path, "_versions"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        t = cls(spark, path)
+        schema = [list(x) for x in (schema or BASE_SCHEMA)]
+        m = Manifest(
+            version=0,
+            num_buckets=num_buckets,
+            schema=schema,
+            column_mapping={c: c for c, _ in schema},
+            renames=[],
+            buckets={},
+            committed_batches=[],
+            lineage={},
+            metrics={},
+        )
+        t._commit(m)
+        return t
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_versions", "CURRENT"))
+
+    def manifest(self) -> Manifest:
+        with open(os.path.join(self.path, "_versions", "CURRENT")) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(self.path, "_versions", f"v{v:08d}.json")) as f:
+            return Manifest.from_json(f.read())
+
+    def _commit(self, m: Manifest) -> None:
+        """Atomic: manifest file, then CURRENT pointer, each via rename."""
+        vdir = os.path.join(self.path, "_versions")
+        mpath = os.path.join(vdir, f"v{m.version:08d}.json")
+        tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(m.to_json())
+        os.rename(tmp, mpath)
+        cur = os.path.join(vdir, "CURRENT")
+        tmp = cur + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(m.version))
+        os.rename(tmp, cur)
+
+    # ------------------------------------------------------------------
+    # read
+    # ------------------------------------------------------------------
+    def _read_buckets(self, m: Manifest, bucket_ids: list[int] | None) -> DataFrame | None:
+        """Scan the data files of the given buckets (None = all), aligned to
+        the manifest schema + hidden columns. Bucket pruning = reading only
+        these dirs; Iceberg would do the same from its manifest lists."""
+        if bucket_ids is None:
+            dirs = sorted(m.buckets.values())
+        else:
+            dirs = [m.buckets[str(b)] for b in bucket_ids if str(b) in m.buckets]
+        if not dirs:
+            return None
+        paths = [os.path.join(self.path, d) for d in sorted(set(dirs))]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._align(df, m)
+
+    def _align(self, df: DataFrame, m: Manifest) -> DataFrame:
+        """Apply accumulated renames (coalesce old→new across file vintages)
+        then project to manifest schema + hidden columns, NULL-filling
+        columns added after a file was written."""
+        for old, new in m.renames:
+            if old in df.columns and new in df.columns:
+                df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+            elif old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        cols = []
+        for name, dtype in list(m.schema) + _HIDDEN_DDL:
+            if name in df.columns:
+                cols.append(F.col(name))
+            else:
+                cols.append(F.lit(None).cast(dtype).alias(name))
+        return df.select(*cols)
+
+    def state(self) -> DataFrame | None:
+        """Full internal state (incl. tombstones + hidden cols)."""
+        return self._read_buckets(self.manifest(), None)
+
+    def read(self) -> DataFrame:
+        """Public snapshot view (live rows, user columns)."""
+        st = self.state()
+        if st is None:
+            m = self.manifest()
+            fields = ", ".join(f"`{n}` {t}" for n, t in m.schema)
+            return self.spark.createDataFrame([], schema=fields)
+        return live_view(st)
+
+    # ------------------------------------------------------------------
+    # write
+    # ------------------------------------------------------------------
+    def apply_batch(
+        self,
+        batch_id: int | str,
+        events: DataFrame,
+        cfg: TableConfig | None = None,
+        server_id: int | None = None,
+    ) -> dict:
+        """Apply one micro-batch of CDC events. Idempotent on ``batch_id``.
+
+        Pipeline (all lazy until the single write):
+        filter (F1-F4) → split row/DDL → DDL → manifest schema (D3) →
+        project via column mapping → per-batch LWW dedup (D1, map-side
+        combined) → transform (D4, post-dedup: extraction runs on winners
+        only) → bucket → union touched-bucket state → LWW merge → CoW write
+        of touched buckets → atomic manifest commit (ledger + lineage).
+        """
+        t0 = time.time()
+        bid = str(batch_id)
+        m = self.manifest()
+        cfg = cfg or TableConfig(name="web.pages")
+        if bid in m.committed_batches:
+            return {"batch_id": bid, "skipped": True, "reason": "already committed"}
+
+        events = table_filter(events, [cfg.name])
+        events = oversized_ddl_filter(events)
+        row_events, ddl_events = split_row_and_ddl(events)
+        row_events = op_filter(row_events)
+
+        # --- DDL → schema/mapping mutation (applied before the merge,
+        # committed atomically with it) --------------------------------
+        ddls = [
+            r.asDict()
+            for r in ddl_events.select("ddl.*", "file_seq", "log_pos")
+            .orderBy("file_seq", "log_pos")
+            .collect()
+        ]
+        n_ddl = len(ddls)
+        for d in ddls:
+            self._apply_ddl(m, d)
+
+        # --- batch → state rows, LWW-deduped --------------------------
+        batch_state = batch_to_state(row_events, m.column_mapping, cfg.on_delete)
+        from ..operators.dedup import lww_dedup  # local import to avoid cycle
+
+        deduped = lww_dedup(
+            batch_state, list(cfg.key_columns), ["_lww_ts_us", "_lww_pos", "_lww_file"]
+        )
+        if cfg.transform is not None:
+            deduped = cfg.transform(deduped)
+        deduped = deduped.withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(*cfg.key_columns), F.lit(m.num_buckets)).cast("int"),
+        )
+        deduped = deduped.persist()
+        try:
+            rows_in_batch = deduped.count()
+            events_in = row_events.count()
+            touched = sorted(
+                r[0] for r in deduped.select("_bucket").distinct().collect()
+            )
+
+            new_dirs: dict[str, str] = {}
+            lineage_rows: dict[str, int] = {}
+            if touched:
+                current = self._read_buckets(m, touched)
+                new_state = merge_state(
+                    current,
+                    deduped.drop("_bucket"),
+                    key_cols=cfg.key_columns,
+                )
+                new_state = new_state.withColumn(
+                    "_bucket",
+                    F.pmod(
+                        F.xxhash64(*cfg.key_columns), F.lit(m.num_buckets)
+                    ).cast("int"),
+                )
+                # uuid suffix: a crashed attempt's orphan dir can never
+                # collide with the retry's write (orphans are GC-able).
+                rel = os.path.join("data", f"v{m.version + 1:08d}-{uuid.uuid4().hex[:8]}")
+                out = os.path.join(self.path, rel)
+                # One file per bucket partition dir; AQE coalesces the
+                # shuffle, partitionBy splits by bucket on write.
+                new_state.repartition("_bucket").write.mode("error").partitionBy(
+                    "_bucket"
+                ).parquet(out)
+                for entry in os.listdir(out):
+                    if entry.startswith("_bucket="):
+                        b = entry.split("=", 1)[1]
+                        new_dirs[b] = os.path.join(rel, entry)
+                lineage_rows = self._footer_rowcounts(out)
+        finally:
+            deduped.unpersist()
+
+        # --- atomic commit: data + ledger + schema in one manifest ----
+        m.version += 1
+        for b, d in new_dirs.items():
+            m.buckets[b] = d
+            m.lineage[b] = {"batch_id": bid, "rows": lineage_rows.get(b, 0)}
+        m.committed_batches.append(bid)
+        merge_ms = int((time.time() - t0) * 1000)
+        m.metrics = {
+            "batch_id": bid,
+            "events_in": events_in,
+            "rows_after_dedup": rows_in_batch,
+            "dedup_hits": events_in - rows_in_batch,
+            "ddl_applied": n_ddl,
+            "buckets_touched": len(touched),
+            "merge_ms": merge_ms,
+        }
+        self._commit(m)
+        return dict(m.metrics, skipped=False)
+
+    def _apply_ddl(self, m: Manifest, d: dict) -> None:
+        """ADD/RENAME COLUMN, idempotent under redelivery."""
+        kind = d.get("kind")
+        names = [n for n, _ in m.schema]
+        if kind == "add_column":
+            col, dtype = d["col"], d.get("dtype") or "string"
+            if col in names or col in m.column_mapping:
+                return
+            if dtype not in DDL_DTYPES:
+                raise ValueError(f"unsupported DDL dtype {dtype}")
+            m.schema.append([col, DDL_DTYPES[dtype].simpleString()])
+            m.column_mapping[col] = col
+        elif kind == "rename_column":
+            old, new = d["col"], d["new_name"]
+            if old not in names:
+                return  # already renamed / unknown — idempotent skip
+            for entry in m.schema:
+                if entry[0] == old:
+                    entry[0] = new
+            for wire, cur in list(m.column_mapping.items()):
+                if cur == old:
+                    m.column_mapping[wire] = new
+            m.renames.append([old, new])
+        else:
+            raise ValueError(f"unknown DDL kind {kind}")
+
+    @staticmethod
+    def _footer_rowcounts(out_dir: str) -> dict[str, int]:
+        """Per-bucket row counts from parquet footers — metadata-only, no
+        extra Spark action (Iceberg gets these from commit stats)."""
+        import pyarrow.parquet as pq
+
+        counts: dict[str, int] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            total = 0
+            d = os.path.join(out_dir, entry)
+            for fn in os.listdir(d):
+                if fn.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(d, fn)).num_rows
+            counts[b] = total
+        return counts
+
+    # ------------------------------------------------------------------
+    # observability
+    # ------------------------------------------------------------------
+    def metrics_history(self) -> list[dict]:
+        vdir = os.path.join(self.path, "_versions")
+        out = []
+        for fn in sorted(os.listdir(vdir)):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(os.path.join(vdir, fn)) as f:
+                    m = json.loads(f.read())
+                if m.get("metrics"):
+                    out.append(m["metrics"])
+        return out
