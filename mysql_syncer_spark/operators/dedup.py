@@ -43,8 +43,8 @@ def rank_struct(df: DataFrame, order_cols: Sequence[str]) -> Column:
     for i, name in enumerate(order_cols):
         col = F.col(name)
         dt = dtypes.get(name)
-        if isinstance(dt, T.TimestampType):
-            floor: Column = F.lit(_TS_FLOOR).cast("timestamp")
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            floor: Column = F.lit(_TS_FLOOR).cast(dt)
         elif isinstance(dt, (T.StringType,)):
             floor = F.lit("")
         else:

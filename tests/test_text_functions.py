@@ -1,0 +1,72 @@
+"""Text extraction determinism (D4) + analysis functions."""
+
+import pyspark.sql.functions as F
+
+from mysql_syncer_spark.functions.text import (
+    extract_text_bytes,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+    with_extracted_text,
+)
+from mysql_syncer_spark.generator import make_html
+
+
+def test_pure_extraction_deterministic():
+    h = make_html("https://x.example.com/p/1", 1700000000000000, 3)
+    assert extract_text_bytes(h) == extract_text_bytes(h)
+    assert "&" in extract_text_bytes(h)  # entity decoded
+    assert "<" not in extract_text_bytes(h)
+
+
+def test_udf_matches_pure_and_sql(spark):
+    htmls = [
+        make_html(f"https://d{i}.example.com/p/{i}", 1700000000000000 + i, i)
+        for i in range(50)
+    ] + [b"<p>a  b\n c</p>", b"no tags &amp; done", b""]
+    df = spark.createDataFrame([(h,) for h in htmls], "html binary")
+    both = with_extracted_text(
+        with_extracted_text(df, "html", "t_pandas", impl="pandas"),
+        "html",
+        "t_sql",
+        impl="sql",
+    ).collect()
+    for r, h in zip(both, htmls):
+        expect = extract_text_bytes(h)
+        assert r["t_pandas"] == expect
+        assert r["t_sql"] == expect
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), (None,), ("one",)], "text string"
+    )
+    out = [r[0] for r in df.select(token_count(F.col("text"))).collect()]
+    assert out == [3, 0, 0, 0, 1]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is on the mat and happy",),
+            ("der hund und die katze das ist gut",),
+            ("le chat et la maison les arbres",),
+            ("xyzzy qwerty",),
+        ],
+        "text string",
+    )
+    out = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_quality_and_fingerprint(spark):
+    df = spark.createDataFrame([("The cat, the hat!",)], "text string")
+    feats = quality_features(F.col("text"))
+    row = df.select(
+        *[c.alias(k) for k, c in feats.items()], fingerprint(F.col("text")).alias("fp")
+    ).collect()[0]
+    assert row["n_tokens"] == 4
+    assert row["stop_hits"] == 2  # 'The'/'the' both match after lower()
+    assert row["punct_hits"] == 2
+    assert len(row["fp"]) == 32
