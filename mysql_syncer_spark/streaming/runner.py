@@ -1,0 +1,96 @@
+"""Streaming replay runner (SURVEY §2.1 S1/S3, M6).
+
+The reference's live tail is inotify+select on the binlog + a dump loop
+(/root/reference/src/master/rs_read_binlog.c:77-208); its offset file is
+slave.info (/root/reference/src/slave/rs_slave_info.c:118-134). Spark-first
+equivalent:
+
+- ``readStream`` over the event-log dir — micro-batch trigger replaces the
+  1 s EOF poll (RS_BINLOG_EOF_WAIT_SEC); new binlog files are discovered
+  incrementally (rotation S2 is free).
+- the streaming ``checkpointLocation`` is the offset file — resume after a
+  kill re-delivers the in-flight batch with the SAME batchId, and the
+  table's ledger makes the re-delivery a no-op → exactly-once END TO END
+  (source offsets checkpointed + idempotent sink commit).
+- ``Trigger.AvailableNow`` = bounded replay (catch-up then stop);
+  ``processingTime`` = continuous tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import TableConfig
+from ..sink.pages_table import PagesTable
+from ..sources.event_log import stream_event_log
+
+
+def start_streaming_replay(
+    spark: SparkSession,
+    event_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    cfg: TableConfig | None = None,
+    num_buckets: int = 64,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    processing_time: str = "1 second",
+) -> StreamingQuery:
+    """Start (or resume from checkpoint) the streaming replay query."""
+    if cfg is None:
+        from ..plans.replay import default_pages_config
+
+        cfg = default_pages_config()
+    if PagesTable.exists(table_path):
+        table = PagesTable(spark, table_path)
+    else:
+        table = PagesTable.create(spark, table_path, num_buckets=num_buckets)
+
+    def apply(batch_df, batch_id: int) -> None:
+        # batchId is stable across checkpointed restarts → the ledger key.
+        table.apply_batch(f"stream-{batch_id}", batch_df, cfg)
+
+    stream = stream_event_log(spark, event_dir, max_files_per_trigger)
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("cdc_replay")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def run_streaming_replay(
+    spark: SparkSession,
+    event_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    cfg: TableConfig | None = None,
+    num_buckets: int = 64,
+    max_files_per_trigger: int = 1,
+    timeout_sec: float | None = None,
+) -> dict:
+    """Bounded replay: process everything available, then stop."""
+    q = start_streaming_replay(
+        spark,
+        event_dir,
+        table_path,
+        checkpoint_dir,
+        cfg,
+        num_buckets,
+        max_files_per_trigger,
+        available_now=True,
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    table = PagesTable(spark, table_path)
+    return {
+        "table_path": table_path,
+        "n_commits": len(table.manifest().committed_batches),
+        "last_progress": q.lastProgress,
+    }
