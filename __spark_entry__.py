@@ -1,38 +1,550 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (CDC
+dataflow ops, expressed over the driver's ``events`` table as the stand-in
+change stream) or a web-scale training-data op (over ``documents`` /
+``embeddings``). Each has a DuckDB ``oracle_sql()`` twin unless the op is
+not SQL-expressible (engine replay, simhash/xxhash64, numpy LSH planes) —
+those get the driver's rows-only check.
+
+CDC mapping used throughout (events → change stream):
+  key      = user_id              (the reference's PK / our url)
+  LWW rank = (ts, event_id)       (≈ (warc_ts, log_pos))
+  op       = signup→'I', error→'D', click/view/purchase→'U'
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.functions.dedup_text import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    normalized,
+    simhash,
+    simhash_near_pairs,
+)
+from mysql_syncer_spark.functions.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    pairwise_cosine_within_block,
+)
+from mysql_syncer_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+from mysql_syncer_spark.operators.dedup import lww_dedup
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _op_col():
+    # built lazily — Column construction needs an active session
+    return (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+
+
+_OP_SQL = (
+    "CASE WHEN event_type='signup' THEN 'I' "
+    "WHEN event_type='error' THEN 'D' ELSE 'U' END"
+)
+
+# normalized text in DuckDB (mirror of dedup_text.normalized)
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOK_CTE = (
+    "WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split("
+    + _NORM_SQL
+    + ", ' '))) AS token FROM documents), "
+    "tok AS (SELECT doc_id, token FROM toks WHERE token <> '')"
+)
+
+
+def _cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table as a change stream with op codes (S5 dispatch view)."""
+    return _t(spark, sf_dir, "events").withColumn("op", _op_col())
+
+
+# ---------------------------------------------------------------------------
+# CDC operator queries (events table)
+# ---------------------------------------------------------------------------
+
+
+def q_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: last-writer-wins winner per key (max_by partial-agg plan)."""
+    ev = _t(spark, sf_dir, "events")
+    win = lww_dedup(ev, ["user_id"], ["ts", "event_id"], method="max_by")
+    return win.select(
+        F.col("user_id"),
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_salted_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: two-phase salted LWW — identical semantics, skew-proof plan."""
+    ev = _t(spark, sf_dir, "events")
+    win = lww_dedup(ev, ["user_id"], ["ts", "event_id"], method="salted", salt_buckets=8)
+    return win.select(
+        F.col("user_id"),
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+_LWW_SQL = """
+SELECT user_id,
+       event_id AS last_event_id,
+       epoch_us(ts) AS last_ts_us,
+       event_type AS last_event_type,
+       value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3 (merge semantics): LWW winner per key; a winning delete removes
+    the key (tombstone), exactly the engine's merge_state contract."""
+    ev = _cdc_stream(spark, sf_dir)
+    win = lww_dedup(ev, ["user_id"], ["ts", "event_id"])
+    return win.filter(F.col("op") != "D").select(
+        F.col("user_id"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_op_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/R2: event-type dispatch census."""
+    return (
+        _cdc_stream(spark, sf_dir)
+        .groupBy("op")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def q_table_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: replicate-only-these-tables (event_type stands in for db.tb)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def q_oversized_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: oversized-payload skip census."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.sum(F.when(F.length("props") <= 9, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.length("props") > 9, 1).otherwise(0)).alias("n_skipped"),
+    )
+
+
+def q_checkpoint_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: checkpoint coalescing — max shipped position per 900-event window
+    (binlog.save cadence, /root/reference/src/slave/rs_slave_info.h:22)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.floor(F.col("event_id") / 900))
+        .groupBy("bucket")
+        .agg(F.max("event_id").alias("max_pos"), F.count("*").alias("n_events"))
+    )
+
+
+def q_heartbeat_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: positions advance even when every event in a window is filtered
+    (heartbeat records)."""
+    ev = _cdc_stream(spark, sf_dir)
+    return (
+        ev.withColumn("bucket", F.floor(F.col("event_id") / 900))
+        .groupBy("bucket")
+        .agg(
+            F.max("event_id").alias("max_pos"),
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("op").isin("I", "U"), 1).otherwise(0)).alias(
+                "n_shipped"
+            ),
+        )
+        .withColumn(
+            "heartbeat_only", F.when(F.col("n_shipped") == 0, 1).otherwise(0)
+        )
+    )
+
+
+def q_before_after_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: UPDATE before/after image pairing — each update carries the
+    previous value as its before-image (lag in log order per key)."""
+    from pyspark.sql import Window
+
+    ev = _cdc_stream(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("before_value", F.lag("value").over(w))
+        .filter(F.col("op") == "U")
+        .select(
+            "user_id",
+            "event_id",
+            "before_value",
+            F.col("value").alias("after_value"),
+        )
+    )
+
+
+def q_row_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3: typed field decode out of the packed payload (props JSON)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
+        .cast("int")
+        .alias("k"),
+    )
+
+
+def q_resume_from_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: resume scan strictly after a checkpoint position."""
+    ev = _t(spark, sf_dir, "events")
+    after = ev.filter(F.col("event_id") > 5000)
+    return after.agg(
+        F.count("*").alias("n_after"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# web-corpus training-data ops (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars_c"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stop_hits"].alias("stop_hits"),
+        feats["punct_hits"].alias("punct_hits"),
+        feats["stop_ratio"].alias("stop_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["avg_token_len"].alias("avg_token_len"),
+    )
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_t(spark, sf_dir, "documents"), k=8)
+
+
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), k=8)
+    return lsh_candidate_pairs(sigs, k=8, bands=4)
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="n_chars", threshold=0.2
+    )
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(simhash(_t(spark, sf_dir, "documents")), max_hamming=8)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+def q_emb_block_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return pairwise_cosine_within_block(e, "label", min_sim=0.15)
+
+
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(e, _query_vec(spark, sf_dir), dim=64, k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# full-engine replay (not SQL-expressible → rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def q_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC engine: generate a seeded event log, batch-replay it
+    through the exactly-once sink, return the final live state."""
+    from mysql_syncer_spark.generator import GenSpec, generate_events, write_event_log
+    from mysql_syncer_spark.plans.replay import replay
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+
+    tbl = generate_events(GenSpec(n_events=2_000, events_per_file=1_000))
+    base = tempfile.mkdtemp(prefix="entry_replay_")
+    log_dir = os.path.join(base, "log")
+    write_event_log(tbl, log_dir)
+    table_path = os.path.join(base, "pages")
+    replay(spark, log_dir, table_path, num_buckets=8)
+    out = PagesTable(spark, table_path).read()
+    return out.select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_ts_us"),
+        "text",
+        "lang",
+        "extra_v2",
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC merge-final-state over the sf0.001 change stream."""
+    return q_merge_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_lww_final_state": q_lww_final_state,
+        "cdc_salted_lww_final_state": q_salted_lww,
+        "cdc_merge_final_state": q_merge_final_state,
+        "cdc_op_routing_counts": q_op_routing_counts,
+        "cdc_table_filter": q_table_filter,
+        "cdc_oversized_skip": q_oversized_skip,
+        "cdc_checkpoint_ledger": q_checkpoint_ledger,
+        "cdc_heartbeat_positions": q_heartbeat_positions,
+        "cdc_before_after_pairing": q_before_after_pairing,
+        "cdc_row_decode": q_row_decode,
+        "cdc_resume_from_offset": q_resume_from_offset,
+        "cdc_engine_replay_final_state": q_engine_replay,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_count": q_doc_token_count,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_minhash_signatures": q_doc_minhash,
+        "doc_minhash_lsh_pairs": q_doc_minhash_lsh,
+        "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard,
+        "doc_simhash": q_doc_simhash,
+        "doc_simhash_near_pairs": q_doc_simhash_pairs,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_block_cosine_pairs": q_emb_block_cosine,
+        "emb_ann_lsh_topk": q_emb_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sig_sql = (
+        "sig AS (SELECT doc_id, "
+        + ", ".join(
+            f"min(md5('mh{i}|' || token)) AS mh{i}" for i in range(8)
+        )
+        + " FROM tok GROUP BY doc_id)"
+    )
+    return {
+        "cdc_lww_final_state": _LWW_SQL,
+        "cdc_salted_lww_final_state": _LWW_SQL,
+        "cdc_merge_final_state": f"""
+            SELECT user_id, event_id AS last_event_id, value AS last_value
+            FROM (SELECT *, {_OP_SQL} AS op,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_op_routing_counts": f"""
+            SELECT {_OP_SQL} AS op, count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "cdc_table_filter": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_type IN ('click','purchase')
+        """,
+        "cdc_oversized_skip": """
+            SELECT sum(CASE WHEN length(props) <= 9 THEN 1 ELSE 0 END) AS n_kept,
+                   sum(CASE WHEN length(props) > 9 THEN 1 ELSE 0 END) AS n_skipped
+            FROM events
+        """,
+        "cdc_checkpoint_ledger": """
+            SELECT floor(event_id/900)::BIGINT AS bucket,
+                   max(event_id) AS max_pos, count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "cdc_heartbeat_positions": f"""
+            SELECT floor(event_id/900)::BIGINT AS bucket,
+                   max(event_id) AS max_pos,
+                   count(*) AS n_total,
+                   sum(CASE WHEN {_OP_SQL} IN ('I','U') THEN 1 ELSE 0 END) AS n_shipped,
+                   CASE WHEN sum(CASE WHEN {_OP_SQL} IN ('I','U') THEN 1 ELSE 0 END) = 0
+                        THEN 1 ELSE 0 END AS heartbeat_only
+            FROM events GROUP BY 1
+        """,
+        "cdc_before_after_pairing": f"""
+            SELECT user_id, event_id, before_value, after_value FROM (
+                SELECT user_id, event_id, {_OP_SQL} AS op,
+                       lag(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS before_value,
+                       value AS after_value
+                FROM events)
+            WHERE op = 'U'
+        """,
+        "cdc_row_decode": r"""
+            SELECT event_id,
+                   TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+            FROM events
+        """,
+        "cdc_resume_from_offset": """
+            SELECT count(*) AS n_after, min(event_id) AS min_id,
+                   max(event_id) AS max_id
+            FROM events WHERE event_id > 5000
+        """,
+        "doc_exact_dedup": f"""
+            SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "doc_token_count": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                   AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars_c,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b')) AS stop_hits,
+                   len(regexp_extract_all(text, '[^\w\s]')) AS punct_hits,
+                   round(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b')) /
+                         greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS stop_ratio,
+                   round(len(regexp_extract_all(text, '[^\w\s]')) /
+                         greatest(length(text), 1), 4) AS punct_ratio,
+                   round(length(text) /
+                         greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 4) AS avg_token_len
+            FROM documents
+        """,
+        "doc_lang_id": r"""
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                        WHEN en = greatest(en, de, fr, es) THEN 'en'
+                        WHEN de = greatest(en, de, fr, es) THEN 'de'
+                        WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM (SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '\b(the|a|is|and|of)\b')) AS en,
+                   len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de,
+                   len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr,
+                   len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS es
+                  FROM documents)
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+        """,
+        "doc_minhash_signatures": f"""
+            {_TOK_CTE}, {sig_sql}
+            SELECT * FROM sig
+        """,
+        "doc_minhash_lsh_pairs": f"""
+            {_TOK_CTE}, {sig_sql},
+            banded AS (
+                SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS key FROM sig
+                UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+                UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+                UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        """,
+        "doc_ngram_jaccard_pairs": f"""
+            {_TOK_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+            blk AS (SELECT doc_id, n_chars FROM documents),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM tok a
+                JOIN blk ba ON a.doc_id = ba.doc_id
+                JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+                JOIN blk bb ON b.doc_id = bb.doc_id AND ba.n_chars = bb.n_chars
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_inter, sa.n_tok AS n_a, sb.n_tok AS n_b,
+                   round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 4) >= 0.2
+        """,
+        "emb_cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                         (SELECT embedding::DOUBLE[] FROM embeddings
+                          WHERE vec_id = 0)), 4) AS sim_r
+            FROM embeddings
+            ORDER BY sim_r DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "emb_block_cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS sim_r
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 4) >= 0.15
+        """,
+    }

@@ -1,0 +1,225 @@
+"""Document-level deduplication for a web corpus (training-data pipeline).
+
+Not present in the reference (it has no scalar/agg operators at all —
+SURVEY §2.4); these are the first-class 100 TB corpus ops the brief adds.
+All hot paths are JVM built-ins (explode / groupBy / join with map-side
+partial aggregation); nothing row-at-a-time.
+
+Scale notes per operator:
+- exact: md5-groupBy — one shuffle on the 16-byte digest, partial-agg'd.
+- minhash: K min() aggs over an exploded distinct-token table. The explode
+  multiplies rows by ~tokens/doc, but min() partial-combines map-side so
+  the shuffle carries ONE row per (doc, ) group per mapper. Signatures use
+  min(md5(seed||token)) — engine-portable (same result in DuckDB/anything
+  with md5), deterministic, no Python.
+- LSH: signatures → banded keys → self-join per band. Join is on the band
+  hash (high cardinality, uniform) → no skew; output is candidate PAIRS,
+  verified downstream, so false positives cost compute not correctness.
+- simhash: 64 per-bit signed sums over exploded (doc, xxhash64(token))
+  rows — one shuffle, 64 cheap SUM aggregates, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def normalized(text: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(text), TOKEN_SPLIT, " "))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: one row per distinct content fingerprint.
+    Output: fp, keeper_id (min id), n_copies."""
+    return (
+        df.select(F.md5(normalized(F.col(text_col))).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) pairs, token-set semantics (duplicates within a doc
+    collapsed BEFORE the shuffle via array_distinct on the map side)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalized(F.col(text_col)), " "))
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """K-permutation MinHash via min(md5(seed||token)) — the md5 of a
+    seeded token is a uniform 128-bit draw; the min over a doc's token set
+    is the classic MinHash estimator. Output: id, mh0..mh{k-1}."""
+    toks = distinct_tokens(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"mh{i}|"), F.col("token")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature (rows_per_band = k/bands), bucket-join docs that
+    collide in ANY band. Output: doc_a < doc_b candidate pairs (distinct)."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Token-set Jaccard near-dup pairs with cheap blocking.
+
+    Without blocking, a common token joins every pair of docs containing
+    it — O(sum cnt(token)^2) blowup on a web corpus. ``block_col`` (e.g.
+    exact n_chars, a length bucket, or an LSH band) restricts pairs to
+    same-block docs; pass None only at toy scale.
+    Output: doc_a, doc_b, n_inter, n_a, n_b, jaccard (rounded 4)."""
+    toks = distinct_tokens(df, id_col, text_col)
+    if block_col is not None:
+        toks = toks.join(
+            df.select(F.col(id_col), F.col(block_col).alias("_blk")), id_col
+        )
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    cond = (F.col("a.token") == F.col("b.token")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col is not None:
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "doc_a", "n_tok": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_tok": "n_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: per token a 64-bit xxhash; per bit, +1/-1 vote over
+    the doc's token set; the sign vector packs into a long. One shuffle,
+    `bits` SUM aggregates, all codegen. Output: id, simhash (long)."""
+    toks = distinct_tokens(df, id_col, text_col).withColumn(
+        "h", F.xxhash64("token")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    packed = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        packed = term if packed is None else packed.bitwiseXOR(term)
+    return agg.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_hamming, blocked on 16-bit
+    chunks (pigeonhole: ≤3 differing bits over 4 chunks → at least one
+    chunk identical), so the join is equi on a chunk, never cartesian."""
+    chunks = [
+        (F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))).alias(
+            f"c{c}"
+        )
+        for c in range(4)
+    ]
+    keyed = sim.select(id_col, "simhash", *chunks)
+    keyed = keyed.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("key"))
+                    for c in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.chunk", "bk.key")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with JVM higher-order functions
+(zip_with + aggregate — stays in codegen, no Python). Scale path: LSH
+bucketing by random-hyperplane signs (signs computed by ONE vectorized
+pandas UDF doing a numpy matrix multiply per Arrow batch), so candidate
+generation is an equi-join on bucket id instead of an all-pairs scan.
+
+At 100 TB the brute-force path is the per-bucket verifier, not the global
+scan: partition-prune by bucket, then score ≤ bucket-sized candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_to_query(
+    df: DataFrame, query: list[float], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``sim`` = cosine(vec, query), computed in double precision with a
+    left-fold (deterministic summation order — reproducible across engines
+    after rounding)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query])
+    sim = _dot(v, q) / (_norm(v) * _norm(q))
+    return df.withColumn("sim", sim)
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k by cosine. orderBy on a k-limited result is a
+    TakeOrdered physical op — no global sort materialization."""
+    scored = cosine_to_query(df, query, vec_col).select(
+        F.col(id_col), F.round(F.col("sim"), 4).alias("sim_r")
+    )
+    return scored.orderBy(F.desc("sim_r"), F.asc(id_col)).limit(k)
+
+
+def pairwise_cosine_within_block(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_sim: float | None = None,
+) -> DataFrame:
+    """All-pairs cosine restricted to equal ``block_col`` (label, LSH
+    bucket, …). Output: id_a < id_b, sim_r (rounded 4)."""
+    v = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._blk") == F.col("b._blk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    sim = _dot(F.col("a._v"), F.col("b._v")) / (
+        _norm(F.col("a._v")) * _norm(F.col("b._v"))
+    )
+    out = pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(sim, 4).alias("sim_r"),
+    )
+    if min_sim is not None:
+        out = out.filter(F.col("sim_r") >= min_sim)
+    return out
+
+
+def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (seeded; same planes every run)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: ONE numpy matmul per
+    Arrow batch (vectorized pandas UDF; no per-row Python)."""
+    planes = make_hyperplanes(dim, n_planes, seed)
+
+    @pandas_udf(T.IntegerType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (mat @ planes.T) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int32))
+
+    return df.withColumn(out_col, bucket_udf(F.col(vec_col)))
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+    Bucket filter prunes ~2^-n_planes of the data before any arithmetic."""
+    planes = make_hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query, dtype=np.float64)
+    qbucket = int(((planes @ q > 0) * (1 << np.arange(n_planes))).sum())
+    bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec_col)
+    cand = bucketed.filter(F.col("bucket") == qbucket)
+    return cosine_topk(cand, query, k, id_col, vec_col)

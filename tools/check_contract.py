@@ -1,0 +1,107 @@
+"""Self-check of the __spark_entry__ contract against the DuckDB oracle —
+a local mimic of the driver's CORRECTNESS gate (row-count + schema + order-
+insensitive value equality). Run: python tools/check_contract.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from mysql_syncer_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def rows_key(df_pandas):
+    cols = sorted(df_pandas.columns)
+    out = []
+    for _, row in df_pandas[cols].iterrows():
+        out.append(tuple(norm_cell(v) for v in row))
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or None
+    spark = get_spark(app_name="contract_check", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(
+                f"rows  {name}: {len(spark_pdf)} rows, "
+                f"cols={sorted(spark_pdf.columns)} ({time.time()-t0:.1f}s) [no oracle]"
+            )
+            n_rows_only += 1
+            continue
+        try:
+            duck_pdf = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if len(spark_pdf) != len(duck_pdf):
+            print(f"FAIL  {name}: rowcount {len(spark_pdf)} != {len(duck_pdf)}")
+            ok = False
+        elif sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+            print(
+                f"FAIL  {name}: cols {sorted(spark_pdf.columns)} != "
+                f"{sorted(duck_pdf.columns)}"
+            )
+            ok = False
+        else:
+            a, b = rows_key(spark_pdf), rows_key(duck_pdf)
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                print(f"FAIL  {name}: values differ, first diffs: {diffs}")
+                ok = False
+        if ok:
+            print(f"PASS  {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
