@@ -325,6 +325,37 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_binary_row_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2-P4: packed binary row-image decode (null bitmap + typed values +
+    packed-int lengths) via Arrow mapInPandas. Deterministic synthetic
+    blobs (seed 42); not SQL-expressible → rows-only check."""
+    import random
+
+    from mysql_syncer_spark.sources.decoder import RowCodec, decode_packed_rows
+
+    codec = RowCodec(
+        fields=(
+            ("id", "i64"),
+            ("ts", "ts_us"),
+            ("url", "str"),
+            ("lang", "str"),
+        )
+    )
+    rng = random.Random(42)
+    rows = [
+        {
+            "id": i,
+            "ts": 1_700_000_000_000_000 + i * 1000,
+            "url": f"https://d{i % 37}.example.com/p/{i}",
+            "lang": rng.choice(["en", "de", None]),
+        }
+        for i in range(1000)
+    ]
+    blobs = [(i, codec.encode(r)) for i, r in enumerate(rows)]
+    df = spark.createDataFrame(blobs, "seq long, row_image binary")
+    return decode_packed_rows(df, codec, keep_cols=("seq",))
+
+
 def q_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end CDC engine: generate a seeded event log, batch-replay it
     through the exactly-once sink, return the final live state."""
@@ -372,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_row_decode": q_row_decode,
         "cdc_resume_from_offset": q_resume_from_offset,
         "cdc_engine_replay_final_state": q_engine_replay,
+        "cdc_binary_row_decode": q_binary_row_decode,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,

@@ -1,0 +1,173 @@
+"""Benchmark harness (driver contract): prints ONE JSON line.
+
+Two parts:
+1. Headline operator queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], timed with a
+   noop sink (full computation, no driver collect).
+2. The north-rule scaling evidence: the full CDC replay (generate → LWW →
+   schema-evolve → exactly-once merge, text extraction through the Arrow
+   UDF) over a cached seeded 1M-event log, run in TWO fresh JVMs at N and
+   4N local cores; reports events/sec at both and
+   efficiency = (throughput_4N / throughput_N) / 4  (target ≥ 0.8).
+
+The replay is the metric the reference competes on (change-events/sec
+applied); the reference publishes no numbers (BASELINE.md), so the JSON's
+`value` is our replay wall-clock at 4N.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+BENCH_HTML_REPEAT = int(os.environ.get("SPARK_GRAFT_BENCH_HTML_REPEAT", "32"))
+CACHE_ROOT = os.path.join(tempfile.gettempdir(), "msss_bench_cache")
+
+HEADLINE = [
+    "cdc_lww_final_state",
+    "cdc_salted_lww_final_state",
+    "cdc_merge_final_state",
+    "cdc_op_routing_counts",
+    "cdc_checkpoint_ledger",
+    "cdc_row_decode",
+    "doc_exact_dedup",
+    "doc_minhash_signatures",
+    "doc_quality",
+    "doc_lang_id",
+    "doc_simhash",
+    "emb_cosine_topk",
+    "emb_block_cosine_pairs",
+]
+
+
+def ensure_event_log(n_events: int, html_repeat: int = BENCH_HTML_REPEAT) -> str:
+    """Deterministic cached CDC log (seed=42); generated once per size.
+    ``html_repeat≈32`` gives ~4 KB pages — Common-Crawl-shaped payloads, so
+    the replay measures extraction+merge compute, not just task latency."""
+    d = os.path.join(CACHE_ROOT, f"v2-{n_events}-{html_repeat}")
+    marker = os.path.join(d, "_COMPLETE")
+    if os.path.exists(marker):
+        return d
+    from mysql_syncer_spark.generator import GenSpec, generate_events, write_event_log
+
+    spec = GenSpec(
+        n_events=n_events,
+        n_urls=max(1000, n_events // 5),
+        events_per_file=max(1, n_events // 2),  # 2 batches
+        html_repeat=html_repeat,
+    )
+    tbl = generate_events(spec)
+    os.makedirs(d, exist_ok=True)
+    write_event_log(tbl, d)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _child(*args: str) -> dict:
+    out = tempfile.mktemp(suffix=".json")
+    env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "24g"))
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "replay_bench_child.py"),
+            *args,
+            out,
+        ],
+        check=True,
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    with open(out) as f:
+        return json.load(f)
+
+
+def replay_at(cores: int, event_dir: str, warm_dir: str) -> dict:
+    return _child("replay", str(cores), event_dir, warm_dir)
+
+
+def sha2_ceiling(cores: int, n_rows: int = 20_000_000) -> dict:
+    return _child("sha2", str(cores), str(n_rows))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    # ---- part 1: headline queries -------------------------------------
+    import __spark_entry__ as entrymod
+    from mysql_syncer_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=2 * cpus)
+    spark.range(2_000_000).selectExpr("sum(id)").collect()  # warmup
+    qs = entrymod.queries()
+    query_secs: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        query_secs[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    # ---- part 2: replay scaling (N vs 4N, fresh JVM each) --------------
+    # The sandbox's 32 vCPUs are host-shared: an embarrassingly parallel
+    # JVM job (sha2) measures the achievable ceiling between the same two
+    # levels; replay efficiency is reported raw AND normalized to that
+    # ceiling. Levels default to 1 vs 4 — the widest spread that still has
+    # hardware headroom here (see BENCH/BASELINE.md) — override with
+    # SPARK_GRAFT_BENCH_N.
+    event_dir = ensure_event_log(BENCH_EVENTS)
+    warm_dir = ensure_event_log(50_000, html_repeat=4)
+    n_cores = int(os.environ.get("SPARK_GRAFT_BENCH_N", "1"))
+    n4_cores = 4 * n_cores
+    ceil_lo = sha2_ceiling(n_cores)
+    ceil_hi = sha2_ceiling(n4_cores)
+    lo = replay_at(n_cores, event_dir, warm_dir)
+    hi = replay_at(n4_cores, event_dir, warm_dir)
+    ceiling_speedup = round(ceil_lo["wall_sec"] / ceil_hi["wall_sec"], 3)
+    speedup = round(hi["events_per_sec"] / lo["events_per_sec"], 3)
+    eff = round(speedup / 4, 3)
+    eff_norm = round(speedup / ceiling_speedup, 3) if ceiling_speedup else None
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_wall_sec_4N",
+                "value": hi["wall_sec"],
+                "unit": "sec",
+                "sf": sf_val,
+                "queries": query_secs,
+                "replay": {
+                    "n_events": hi["events"],
+                    "cores_n": n_cores,
+                    "cores_4n": n4_cores,
+                    "events_per_sec_n": lo["events_per_sec"],
+                    "events_per_sec_4n": hi["events_per_sec"],
+                    "wall_sec_n": lo["wall_sec"],
+                    "wall_sec_4n": hi["wall_sec"],
+                    "speedup_n_to_4n": speedup,
+                    "scaling_efficiency_n_to_4n": eff,
+                    "hardware_ceiling_speedup_sha2": ceiling_speedup,
+                    "efficiency_vs_hardware_ceiling": eff_norm,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,7 @@ class GenSpec:
     events_per_file: int = 2_000  # binlog rotation cadence
     seed: int = 42
     table: str = "web.pages"
+    html_repeat: int = 1  # page-body size knob (~125 B per unit)
     # (fraction_of_stream, kind, col, new_name, dtype); empty = no DDL
     ddl_scenario: tuple = (
         (0.40, "add_column", EXTRA_FIELD, None, "string"),
@@ -94,12 +95,20 @@ def make_url(url_id: int, n_domains: int) -> str:
     return f"https://d{url_id % n_domains:04d}.example.com/p/{url_id}"
 
 
-def make_html(url: str, ts_us: int, rev: int) -> bytes:
-    """Deterministic page bytes embedding url + ts (FIXTURES §2)."""
+_FILLER = (
+    "<p>lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+    "eiusmod tempor incididunt ut labore et dolore magna aliqua</p>"
+)
+
+
+def make_html(url: str, ts_us: int, rev: int, repeat: int = 1) -> bytes:
+    """Deterministic page bytes embedding url + ts (FIXTURES §2).
+    ``repeat`` scales the body toward realistic web-page sizes (~125 B per
+    unit; bench uses ~30-50 for KB-scale pages)."""
     body = (
         f"<html><head><title>{url}</title></head><body>"
         f"<h1>Rev {rev}</h1><p>Crawled at {ts_us} from {url}.</p>"
-        f"<p>Lorem ipsum &amp; filler {ts_us % 97}.</p></body></html>"
+        f"<p>Lorem ipsum &amp; filler {ts_us % 97}.</p>{_FILLER * repeat}</body></html>"
     )
     return body.encode("utf-8")
 
@@ -111,6 +120,10 @@ def generate_events(spec: GenSpec = GenSpec()) -> pa.Table:
     redeliveries, which re-ship an earlier (file_seq, log_pos) later in the
     stream (reconnect-replay semantics, /root/reference/src/slave/
     rs_io_thread.c:102-110).
+
+    Fully columnar construction (numpy + Arrow StructArrays) — ~10 MB/s of
+    events per core, so bench-scale logs (millions of events) generate in
+    seconds and deterministically (seeded).
     """
     rng = np.random.default_rng(spec.seed)
     n = spec.n_events
@@ -123,6 +136,7 @@ def generate_events(spec: GenSpec = GenSpec()) -> pa.Table:
     ops = np.where(
         r < spec.p_delete, "D", np.where(r < spec.p_delete + spec.p_update, "U", "I")
     ).astype(object)
+    is_del = ops == "D"
 
     # --- order columns ----------------------------------------------------
     idx = np.arange(n, dtype=np.int64)
@@ -138,131 +152,145 @@ def generate_events(spec: GenSpec = GenSpec()) -> pa.Table:
     ).astype(np.int64)
 
     tx_id = idx // 7  # ~7 events per transaction (XID bracket, §1.1)
-    server_id = np.full(n, 1, dtype=np.int32)
 
     # --- DDL events interleaved ------------------------------------------
-    ddl_rows = []  # (insert_at, kind, col, new_name, dtype)
-    for frac, kind, col, new_name, dtype in spec.ddl_scenario:
-        ddl_rows.append((int(frac * n), kind, col, new_name, dtype))
+    ddl_rows = [
+        (int(frac * n), kind, col, new_name, dtype)
+        for frac, kind, col, new_name, dtype in spec.ddl_scenario
+    ]
     ddl_at = {pos: (k, c, nn, dt) for pos, k, c, nn, dt in ddl_rows}
     extra_active_from = next(
         (pos for pos, (k, c, _, _) in ddl_at.items() if k == "add_column"), n + 1
     )
 
-    # --- payload ----------------------------------------------------------
-    urls = np.array([make_url(int(u), spec.n_domains) for u in url_ids], dtype=object)
-    langs = LANGS[rng.integers(0, len(LANGS), n)]
-    html = np.array(
-        [
-            make_html(urls[i], int(ts_us[i]), int(tx_id[i])) if ops[i] != "D" else None
-            for i in range(n)
-        ],
-        dtype=object,
-    )
-    extra_vals = np.array(
-        [
-            f"x{int(url_ids[i])}-{int(ts_us[i]) % 1000}"
-            if (i >= extra_active_from and ops[i] != "D")
-            else None
-            for i in range(n)
-        ],
-        dtype=object,
-    )
+    # --- payload columns (list comps over ints — no per-row dicts) -------
+    urls = [make_url(int(u), spec.n_domains) for u in url_ids]
+    lang_pick = LANGS[rng.integers(0, len(LANGS), n)]
+    langs = [None if is_del[i] else lang_pick[i] for i in range(n)]
+    htmls = [
+        None
+        if is_del[i]
+        else make_html(urls[i], int(ts_us[i]), int(tx_id[i]), spec.html_repeat)
+        for i in range(n)
+    ]
+    extras = [
+        None
+        if (i < extra_active_from or is_del[i])
+        else f"x{int(url_ids[i])}-{int(ts_us[i]) % 1000}"
+        for i in range(n)
+    ]
 
-    rows: list[dict] = []
-    for i in range(n):
-        if i in ddl_at:
-            kind, col, new_name, dtype = ddl_at[i]
-            rows.append(
-                {
-                    "log_pos": int(log_pos[i]) - 1,
-                    "file_seq": int(file_seq[i]),
-                    "server_id": 1,
-                    "op": "DDL",
-                    "table": spec.table,
-                    "tx_id": None,
-                    "before": None,
-                    "after": None,
-                    "ddl": {
-                        "kind": kind,
-                        "col": col,
-                        "new_name": new_name,
-                        "dtype": dtype,
-                    },
-                }
-            )
-        op = ops[i]
-        after = {
-            "url": urls[i],
-            "warc_ts": int(ts_us[i]),
-            "html": html[i] if op != "D" else None,
-            "text": None,  # extraction is the ENGINE's job (D4)
-            "lang": langs[i] if op != "D" else None,
-            EXTRA_FIELD: extra_vals[i],
+    def payload_struct(
+        url_a, ts_a, html_a, lang_a, extra_a, null_mask=None
+    ) -> pa.StructArray:
+        m = len(url_a)
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(url_a, pa.string()),
+                ts_a if ts_a is not None else pa.nulls(m, pa.timestamp("us", tz="UTC")),
+                pa.array(html_a, pa.binary()) if html_a is not None else pa.nulls(m, pa.binary()),
+                pa.nulls(m, pa.string()),  # text: extraction is the ENGINE's job
+                pa.array(lang_a, pa.string()) if lang_a is not None else pa.nulls(m, pa.string()),
+                pa.array(extra_a, pa.string()) if extra_a is not None else pa.nulls(m, pa.string()),
+            ],
+            fields=list(PAYLOAD_ARROW),
+            mask=null_mask,
+        )
+
+    arrival = idx * 2 + 1  # leave even slots for DDL inserts
+    # build in slices: a single binary array is capped at 2 GB of offsets,
+    # and big html payloads blow past that at bench scale
+    slice_rows = max(1, min(n, (1 << 30) // max(1, 130 * spec.html_repeat)))
+    slices = []
+    for lo in range(0, n, slice_rows):
+        hi = min(n, lo + slice_rows)
+        after = payload_struct(
+            urls[lo:hi],
+            pa.array(ts_us[lo:hi], pa.timestamp("us", tz="UTC")),
+            htmls[lo:hi],
+            langs[lo:hi],
+            extras[lo:hi],
+        )
+        # before-image: present only for U (url filled, rest null — the
+        # reference's before_update handler ignores it anyway, SURVEY A2)
+        before = payload_struct(
+            urls[lo:hi], None, None, None, None, null_mask=pa.array(ops[lo:hi] != "U")
+        )
+        slices.append(
+            pa.Table.from_arrays(
+                [
+                    pa.array(log_pos[lo:hi], pa.int64()),
+                    pa.array(file_seq[lo:hi], pa.int32()),
+                    pa.array(np.full(hi - lo, 1, dtype=np.int32), pa.int32()),
+                    pa.array(ops[lo:hi], pa.string()),
+                    pa.array([spec.table] * (hi - lo), pa.string()),
+                    pa.array(tx_id[lo:hi], pa.int64()),
+                    before,
+                    after,
+                    pa.nulls(hi - lo, DDL_ARROW),
+                ],
+                schema=EVENT_ARROW,
+            ).append_column("_arrival", pa.array(arrival[lo:hi], pa.int64()))
+        )
+    row_table = pa.concat_tables(slices)
+
+    ddl_dicts = [
+        {
+            "log_pos": int(log_pos[pos]) - 1,
+            "file_seq": int(file_seq[pos]),
+            "server_id": 1,
+            "op": "DDL",
+            "table": spec.table,
+            "tx_id": None,
+            "before": None,
+            "after": None,
+            "ddl": {"kind": k, "col": c, "new_name": nn, "dtype": dt},
+            "_arrival": int(pos) * 2,  # just before row event `pos`
         }
-        before = (
-            {
-                "url": urls[i],
-                "warc_ts": None,
-                "html": None,
-                "text": None,
-                "lang": None,
-                EXTRA_FIELD: None,
-            }
-            if op == "U"
-            else None
-        )
-        rows.append(
-            {
-                "log_pos": int(log_pos[i]),
-                "file_seq": int(file_seq[i]),
-                "server_id": 1,
-                "op": op,
-                "table": spec.table,
-                "tx_id": int(tx_id[i]),
-                "before": before,
-                "after": after,
-                "ddl": None,
-            }
-        )
+        for pos, (k, c, nn, dt) in sorted(ddl_at.items())
+        if pos < n
+    ]
+    # Splice DDL rows in by zero-copy slicing (a global sort+take would
+    # re-concatenate >2GB binary arrays and overflow 32-bit offsets).
+    schema_with_arrival = row_table.schema
+    parts = []
+    prev = 0
+    for d in ddl_dicts:  # already sorted by _arrival
+        pos = d["_arrival"] // 2
+        parts.append(row_table.slice(prev, pos - prev))
+        parts.append(pa.Table.from_pylist([d], schema=schema_with_arrival))
+        prev = pos
+    parts.append(row_table.slice(prev))
+    combined = pa.concat_tables(parts)
 
-    # --- duplicate redelivery: re-append earlier events verbatim ----------
+    # --- duplicate redelivery: re-ship earlier events verbatim, later ----
+    # (chunk-local takes: a whole-table take concatenates chunks and can
+    # overflow 32-bit binary offsets at bench scale)
     n_dup = int(spec.p_duplicate * n)
     if n_dup:
-        dup_src = rng.integers(0, len(rows), n_dup)
-        rows.extend(rows[int(j)] for j in dup_src)
-
-    cols: dict[str, list] = {name: [] for name in EVENT_ARROW.names}
-    for row in rows:
-        for name in EVENT_ARROW.names:
-            cols[name].append(row[name])
-    # timestamps: ints(us) → arrow timestamp
-    arrays = []
-    for fld in EVENT_ARROW:
-        if fld.name in ("before", "after"):
-            arrays.append(_payload_array(cols[fld.name]))
-        else:
-            arrays.append(pa.array(cols[fld.name], type=fld.type))
-    return pa.Table.from_arrays(arrays, schema=EVENT_ARROW)
-
-
-def _payload_array(dicts: list) -> pa.Array:
-    fixed = []
-    for d in dicts:
-        if d is None:
-            fixed.append(None)
-        else:
-            e = dict(d)
-            fixed.append(e)
-    return pa.array(fixed, type=PAYLOAD_ARROW)
+        dup_src = np.sort(rng.integers(0, combined.num_rows, n_dup))
+        out_batches, start = [], 0
+        for b in combined.to_batches():
+            local = dup_src[(dup_src >= start) & (dup_src < start + b.num_rows)] - start
+            if len(local):
+                out_batches.append(b.take(pa.array(local)))
+            start += b.num_rows
+        dup_tbl = pa.Table.from_batches(out_batches, schema=combined.schema)
+        combined = pa.concat_tables([combined, dup_tbl])
+    return combined.drop_columns(["_arrival"])
 
 
 def write_event_log(
-    table: pa.Table, out_dir: str, files_per_chunk: int | None = None
+    table: pa.Table, out_dir: str, row_group_rows: int = 50_000
 ) -> list[str]:
     """Write the event log as one parquet file PER file_seq value, in order —
     mirrors binlog rotation and gives the streaming source incremental file
-    discovery (S1/S2). Returns written paths."""
+    discovery (S1/S2). Returns written paths.
+
+    row_group_rows caps row-group size: parquet input splits align to row
+    groups, so a file with one giant row group serializes its whole scan +
+    map-side partial aggregation into ONE task no matter how many cores the
+    cluster has. 50k rows ≈ 15-20 MB groups → plenty of splits."""
     os.makedirs(out_dir, exist_ok=True)
     fs = table.column("file_seq").to_numpy(zero_copy_only=False)
     paths = []
@@ -270,6 +298,6 @@ def write_event_log(
         mask = pa.array(fs == seq)
         chunk = table.filter(mask)
         path = os.path.join(out_dir, f"binlog-{seq:06d}.parquet")
-        pq.write_table(chunk, path)
+        pq.write_table(chunk, path, row_group_size=row_group_rows)
         paths.append(path)
     return paths

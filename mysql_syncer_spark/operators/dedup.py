@@ -59,31 +59,45 @@ def lww_dedup(
     order_cols: Sequence[str],
     method: str = "max_by",
     salt_buckets: int = 16,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Reduce to one row per key: the max-rank writer wins. Output columns =
-    input columns (order preserved)."""
+    input columns (order preserved). ``count_col``: also emit the number of
+    source rows folded into each winner (rides the same aggregate — no
+    second scan; sum(count_col) == input rows, the dedup-hits metric)."""
     cols = df.columns
     rank = rank_struct(df, order_cols)
     if method == "max_by":
-        winner = df.groupBy(*key_cols).agg(
-            F.max_by(F.struct(*cols), rank).alias("_w")
-        )
-        return winner.select("_w.*")
+        aggs = [F.max_by(F.struct(*cols), rank).alias("_w")]
+        if count_col:
+            aggs.append(F.count(F.lit(1)).alias(count_col))
+        winner = df.groupBy(*key_cols).agg(*aggs)
+        out_cols = ["_w.*"] + ([count_col] if count_col else [])
+        return winner.select(*out_cols)
     if method == "salted":
         # Phase 1: partial winners per (key, salt) — spreads a flooded key
         # over `salt_buckets` reducers.
         salted = df.withColumn("_salt", F.pmod(F.xxhash64(rank), F.lit(salt_buckets)))
         partial = salted.groupBy(*key_cols, "_salt").agg(
-            F.max_by(F.struct(*cols), rank).alias("_w")
+            F.max_by(F.struct(*cols), rank).alias("_w"),
+            F.count(F.lit(1)).alias("_pc"),
         )
         # Phase 2: final winner per key over ≤salt_buckets candidates.
-        flat = partial.select("_w.*")
-        return lww_dedup(flat, key_cols, order_cols, method="max_by")
+        flat = partial.select("_w.*", "_pc")
+        rank2 = rank_struct(flat, order_cols)
+        aggs = [F.max_by(F.struct(*cols), rank2).alias("_w")]
+        if count_col:
+            aggs.append(F.sum("_pc").alias(count_col))
+        final = flat.groupBy(*key_cols).agg(*aggs)
+        return final.select(*(["_w.*"] + ([count_col] if count_col else [])))
     if method == "window":
         w = Window.partitionBy(*key_cols).orderBy(rank.desc())
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(*cols)
-        )
+        proj = list(cols)
+        df2 = df.withColumn("_rn", F.row_number().over(w))
+        if count_col:
+            df2 = df2.withColumn(
+                count_col, F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+            )
+            proj.append(count_col)
+        return df2.filter(F.col("_rn") == 1).select(*proj)
     raise ValueError(f"unknown method {method}")

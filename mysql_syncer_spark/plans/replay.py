@@ -8,6 +8,9 @@ runner (streaming/runner.py) is the same apply under foreachBatch.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -15,6 +18,8 @@ from ..config import TableConfig
 from ..functions.text import with_extracted_text
 from ..sink.pages_table import PagesTable
 from ..sources.event_log import read_event_log
+
+_BINLOG_RE = re.compile(r"binlog-(\d+)\.parquet$")
 
 
 def default_pages_config(text_impl: str = "pandas") -> TableConfig:
@@ -43,17 +48,32 @@ def replay(
     else:
         table = PagesTable.create(spark, table_path, num_buckets=num_buckets)
 
-    events = read_event_log(spark, event_dir)
-    seqs = [
-        r[0]
-        for r in events.select("file_seq").distinct().orderBy("file_seq").collect()
-    ]
+    # one batch per binlog file; discover by the index (filename), like the
+    # reference's mysql-bin.index walk (/root/reference/src/master/
+    # rs_read_binlog.c:210-252) — no data scan needed to plan batches
+    by_name = {}
+    for fn in os.listdir(event_dir):
+        mm = _BINLOG_RE.search(fn)
+        if mm:
+            by_name[int(mm.group(1))] = os.path.join(event_dir, fn)
+    if by_name:
+        batches_src = [(seq, by_name[seq]) for seq in sorted(by_name)]
+    else:  # arbitrary layout: fall back to a pruned scan
+        events = read_event_log(spark, event_dir)
+        seqs = [
+            r[0]
+            for r in events.select("file_seq").distinct().orderBy("file_seq").collect()
+        ]
+        batches_src = [(seq, None) for seq in seqs]
     total_events = 0
     batches = []
-    for seq in seqs:
+    for seq, path in batches_src:
         if from_file_seq is not None and seq < from_file_seq:
             continue
-        batch = events.filter(F.col("file_seq") == seq)
+        if path is not None:
+            batch = spark.read.parquet(path)
+        else:
+            batch = read_event_log(spark, event_dir).filter(F.col("file_seq") == seq)
         res = table.apply_batch(batch_id=f"fileseq-{seq}", events=batch, cfg=cfg)
         batches.append(res)
         total_events += res.get("events_in", 0)

@@ -213,6 +213,13 @@ class PagesTable:
         of touched buckets → atomic manifest commit (ledger + lineage).
         """
         t0 = time.time()
+        profile = os.environ.get("MSSS_PROFILE") == "1"
+        marks: list[tuple[str, float]] = []
+
+        def mark(label: str) -> None:
+            if profile:
+                marks.append((label, time.time() - t0))
+
         bid = str(batch_id)
         m = self.manifest()
         cfg = cfg or TableConfig(name="web.pages")
@@ -235,13 +242,17 @@ class PagesTable:
         n_ddl = len(ddls)
         for d in ddls:
             self._apply_ddl(m, d)
+        mark("ddl_collect")
 
         # --- batch → state rows, LWW-deduped --------------------------
         batch_state = batch_to_state(row_events, m.column_mapping, cfg.on_delete)
         from ..operators.dedup import lww_dedup  # local import to avoid cycle
 
         deduped = lww_dedup(
-            batch_state, list(cfg.key_columns), ["_lww_ts_us", "_lww_pos", "_lww_file"]
+            batch_state,
+            list(cfg.key_columns),
+            ["_lww_ts_us", "_lww_pos", "_lww_file"],
+            count_col="_n_src",
         )
         if cfg.transform is not None:
             deduped = cfg.transform(deduped)
@@ -251,11 +262,16 @@ class PagesTable:
         )
         deduped = deduped.persist()
         try:
-            rows_in_batch = deduped.count()
-            events_in = row_events.count()
-            touched = sorted(
-                r[0] for r in deduped.select("_bucket").distinct().collect()
-            )
+            # ONE action for all batch stats: touched buckets, input events
+            # (sum of per-winner source counts), winner rows. Bounded by
+            # num_buckets rows, safe to collect at any scale.
+            stats = deduped.groupBy("_bucket").agg(
+                F.sum("_n_src").alias("n_src"), F.count(F.lit(1)).alias("n_rows")
+            ).collect()
+            touched = sorted(int(r["_bucket"]) for r in stats)
+            events_in = int(sum(r["n_src"] for r in stats))
+            rows_in_batch = int(sum(r["n_rows"] for r in stats))
+            mark("dedup_extract_stats")
 
             new_dirs: dict[str, str] = {}
             lineage_rows: dict[str, int] = {}
@@ -263,7 +279,7 @@ class PagesTable:
                 current = self._read_buckets(m, touched)
                 new_state = merge_state(
                     current,
-                    deduped.drop("_bucket"),
+                    deduped.drop("_bucket", "_n_src"),
                     key_cols=cfg.key_columns,
                 )
                 new_state = new_state.withColumn(
@@ -281,6 +297,7 @@ class PagesTable:
                 new_state.repartition("_bucket").write.mode("error").partitionBy(
                     "_bucket"
                 ).parquet(out)
+                mark("merge_write")
                 for entry in os.listdir(out):
                     if entry.startswith("_bucket="):
                         b = entry.split("=", 1)[1]
@@ -306,6 +323,13 @@ class PagesTable:
             "merge_ms": merge_ms,
         }
         self._commit(m)
+        mark("commit")
+        if profile:
+            deltas = [
+                f"{label}={t - (marks[i-1][1] if i else 0):.1f}s"
+                for i, (label, t) in enumerate(marks)
+            ]
+            print(f"[profile batch {bid}] " + " ".join(deltas), flush=True)
         return dict(m.metrics, skipped=False)
 
     def _apply_ddl(self, m: Manifest, d: dict) -> None:

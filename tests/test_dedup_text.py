@@ -1,0 +1,75 @@
+"""Semantic checks for the corpus-dedup operators (beyond oracle parity)."""
+
+import pyspark.sql.functions as F
+
+from mysql_syncer_spark.functions.dedup_text import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", 44),
+    (1, "the quick brown fox jumps over the lazy dog", 44),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog", 44),  # near dup
+    (3, "pack my box with five dozen liquor jugs", 40),
+    (4, "sphinx of black quartz judge my vow", 35),
+    (5, "completely different content about spark engines", 48),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, n_chars long")
+
+
+def test_exact_dedup_groups(spark):
+    out = {r["keeper_id"]: r["n_copies"] for r in exact_duplicates(_docs(spark)).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert sum(out.values()) == 6
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    sigs = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(8))
+            for r in minhash_signatures(_docs(spark), k=8).collect()}
+    assert sigs[0] == sigs[1]
+    # near-dup shares most minhashes; unrelated docs share almost none
+    shared_near = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    shared_far = sum(a == b for a, b in zip(sigs[0], sigs[5]))
+    assert shared_near > shared_far
+
+
+def test_lsh_finds_exact_and_near_dups(spark):
+    sigs = minhash_signatures(_docs(spark), k=8)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sigs, k=8, bands=4).collect()}
+    assert (0, 1) in pairs  # exact dup always collides in every band
+    assert (0, 5) not in pairs and (3, 4) not in pairs
+
+
+def test_jaccard_values(spark):
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            _docs(spark), block_col="n_chars", threshold=0.0
+        ).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    # 0 vs 2: tokens differ by jumps/leaps → J = 7/9 (8 distinct each, 7 shared)
+    assert abs(out[(0, 2)] - round(7 / 9, 4)) < 1e-9
+    # blocking: (0,3) different n_chars → never compared
+    assert (0, 3) not in out
+
+
+def test_simhash_hamming_orders_similarity(spark):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    assert sh[0] == sh[1]
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[5]).count("1")
+    assert ham_near < ham_far
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(simhash(_docs(spark)), max_hamming=16).collect()
+    }
+    assert pairs[(0, 1)] == 0

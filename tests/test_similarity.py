@@ -1,0 +1,69 @@
+"""Embedding similarity: Spark results == numpy brute force."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from mysql_syncer_spark.functions.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    make_hyperplanes,
+    pairwise_cosine_within_block,
+    with_lsh_bucket,
+)
+
+
+def _emb(spark, n=200, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 3)) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    return df, vecs
+
+
+def _np_cosine(a, b):
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_topk_matches_numpy(spark):
+    df, vecs = _emb(spark)
+    q = [float(x) for x in vecs[0]]
+    got = [(r["vec_id"], r["sim_r"]) for r in cosine_topk(df, q, k=5).collect()]
+    sims = sorted(
+        ((i, round(_np_cosine(vecs[i], vecs[0]), 4)) for i in range(len(vecs))),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert got == sims
+    assert got[0][0] == 0 and got[0][1] == 1.0  # self-match first
+
+
+def test_block_pairs_match_numpy(spark):
+    df, vecs = _emb(spark, n=60)
+    got = {
+        (r["id_a"], r["id_b"]): r["sim_r"]
+        for r in pairwise_cosine_within_block(df, "label").collect()
+    }
+    for (a, b), s in got.items():
+        assert a % 3 == b % 3 and a < b
+        assert abs(s - round(_np_cosine(vecs[a], vecs[b]), 4)) <= 1e-4
+    n_expected = sum(1 for a in range(60) for b in range(a + 1, 60) if a % 3 == b % 3)
+    assert len(got) == n_expected
+
+
+def test_lsh_bucket_matches_numpy_planes(spark):
+    df, vecs = _emb(spark, n=100, dim=16)
+    planes = make_hyperplanes(16, 6, seed=42)
+    expect = ((vecs.astype(np.float64) @ planes.T) > 0) @ (1 << np.arange(6))
+    got = {r["vec_id"]: r["bucket"] for r in with_lsh_bucket(df, 16, 6, 42).collect()}
+    for i in range(100):
+        assert got[i] == int(expect[i])
+
+
+def test_ann_returns_query_bucket_subset(spark):
+    df, vecs = _emb(spark, n=200, dim=16)
+    q = [float(x) for x in vecs[7]]
+    got = [r["vec_id"] for r in ann_topk_lsh(df, q, dim=16, k=5, n_planes=4).collect()]
+    assert 7 in got  # the query vector itself shares its own bucket
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    assert exact[0] == 7

@@ -1,0 +1,85 @@
+"""Isolated bench runs (one fresh JVM per measurement).
+
+Usage:
+    python tools/replay_bench_child.py replay <cores> <event_dir> <warm_dir> <out_json>
+    python tools/replay_bench_child.py sha2   <cores> <n_rows>    <out_json>
+
+`replay` warms with a SMALL log (JIT + python workers) then times the full
+replay of <event_dir>. `sha2` is the hardware-ceiling calibration: an
+embarrassingly parallel JVM-only job — its speedup between two core counts
+is the best ANY job can do on this host (shared/oversubscribed vCPUs).
+All working dirs live on /dev/shm so the shared virtual disk adds no noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_replay(cores: int, event_dir: str, warm_dir: str, out_path: str) -> None:
+    from mysql_syncer_spark.plans.replay import replay
+    from mysql_syncer_spark.session import get_spark
+
+    shm = tempfile.mkdtemp(dir="/dev/shm", prefix=f"bench_{cores}_")
+    try:
+        local_log = os.path.join(shm, "log")
+        shutil.copytree(event_dir, local_log)
+        spark = get_spark(
+            app_name=f"replay_bench_{cores}",
+            cores=cores,
+            # FIXED partitioning across levels — same task sizes, different
+            # executor counts, like comparing two cluster sizes
+            shuffle_partitions=32,
+            extra_conf={"spark.local.dir": os.path.join(shm, "sparktmp")},
+        )
+        replay(spark, warm_dir, os.path.join(shm, "warm", "pages"), num_buckets=64)
+        t0 = time.time()
+        res = replay(spark, local_log, os.path.join(shm, "pages"), num_buckets=64)
+        wall = time.time() - t0
+        events = res["events_applied"]
+        spark.stop()
+    finally:
+        shutil.rmtree(shm, ignore_errors=True)
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "cores": cores,
+                "wall_sec": round(wall, 2),
+                "events": events,
+                "events_per_sec": round(events / wall, 1),
+                "n_batches": res["n_batches"],
+            },
+            f,
+        )
+
+
+def run_sha2(cores: int, n_rows: int, out_path: str) -> None:
+    from mysql_syncer_spark.session import get_spark
+
+    spark = get_spark(app_name=f"ceiling_{cores}", cores=cores, shuffle_partitions=32)
+    spark.range(10_000).selectExpr("sum(id)").collect()
+    t0 = time.time()
+    spark.range(n_rows, numPartitions=32).selectExpr(
+        "sha2(cast(id as string), 256) as h"
+    ).selectExpr("count(distinct substring(h, 1, 8))").collect()
+    wall = time.time() - t0
+    spark.stop()
+    with open(out_path, "w") as f:
+        json.dump({"cores": cores, "wall_sec": round(wall, 2)}, f)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1]
+    if mode == "replay":
+        run_replay(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
+    elif mode == "sha2":
+        run_sha2(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    else:
+        raise SystemExit(f"unknown mode {mode}")
