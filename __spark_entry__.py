@@ -325,6 +325,30 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_merge_into_base_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3 as a JOIN (the MERGE INTO backend shape): latest change per
+    key full-outer-joined into a base table — matched+D deletes, matched
+    I/U updates, unmatched inserts, untouched base rows pass through."""
+    base = _t(spark, sf_dir, "customer")
+    win = lww_dedup(_cdc_stream(spark, sf_dir), ["user_id"], ["ts", "event_id"])
+    changes = win.select(
+        F.col("user_id").alias("custkey"),
+        F.col("op"),
+        F.col("value").alias("new_bal"),
+    )
+    j = base.join(changes, base.c_custkey == changes.custkey, "full_outer")
+    # a winning D removes the key whether matched or not; untouched base
+    # rows (op NULL) pass through — mind SQL three-valued logic
+    merged = j.filter(F.col("op").isNull() | (F.col("op") != "D"))
+    return merged.select(
+        F.coalesce(F.col("c_custkey"), F.col("custkey")).alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.when(F.col("op").isNotNull(), F.col("new_bal"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal_new"),
+    )
+
+
 def q_binary_row_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2-P4: packed binary row-image decode (null bitmap + typed values +
     packed-int lengths) via Arrow mapInPandas. Deterministic synthetic
@@ -379,6 +403,39 @@ def q_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: binary image column → typed metadata (mapInPandas;
+    deterministic synthetic media — codec stubbed, plumbing real)."""
+    from mysql_syncer_spark.functions.multimodal import (
+        decode_image_meta,
+        make_image_bytes,
+    )
+
+    rows = [(i, make_image_bytes(i, w=32 + (i % 4) * 8, h=24, c=3)) for i in range(200)]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    return decode_image_meta(df)
+
+
+def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_syncer_spark.functions.multimodal import audio_features, make_audio_bytes
+
+    rows = [(i, make_audio_bytes(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    return audio_features(df)
+
+
+def q_mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_syncer_spark.functions.multimodal import (
+        make_video_bytes,
+        sample_video_frames,
+    )
+
+    rows = [(i, make_video_bytes(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = sample_video_frames(df, every_n=4)
+    return out.select("media_id", "frame_idx", "ts_s", F.length("frame").alias("frame_bytes"))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -402,8 +459,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_before_after_pairing": q_before_after_pairing,
         "cdc_row_decode": q_row_decode,
         "cdc_resume_from_offset": q_resume_from_offset,
+        "cdc_merge_into_base_join": q_merge_into_base_join,
         "cdc_engine_replay_final_state": q_engine_replay,
         "cdc_binary_row_decode": q_binary_row_decode,
+        "mm_image_meta": q_mm_image_meta,
+        "mm_audio_features": q_mm_audio_features,
+        "mm_video_frame_sample": q_mm_video_frame_sample,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
@@ -484,6 +545,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_after, min(event_id) AS min_id,
                    max(event_id) AS max_id
             FROM events WHERE event_id > 5000
+        """,
+        "cdc_merge_into_base_join": f"""
+            WITH win AS (
+                SELECT user_id AS custkey, op, value AS new_bal
+                FROM (SELECT *, {_OP_SQL} AS op,
+                             row_number() OVER (PARTITION BY user_id
+                                                ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM events)
+                WHERE rn = 1)
+            SELECT coalesce(c.c_custkey, w.custkey) AS custkey,
+                   c.c_name AS name,
+                   CASE WHEN w.op IS NOT NULL THEN w.new_bal
+                        ELSE c.c_acctbal END AS acctbal_new
+            FROM customer c FULL OUTER JOIN win w ON c.c_custkey = w.custkey
+            WHERE w.op IS NULL OR w.op <> 'D'
         """,
         "doc_exact_dedup": f"""
             SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS keeper_id,

@@ -75,6 +75,12 @@ class Manifest:
     committed_batches: list[str]
     lineage: dict[str, dict]  # bucket id -> {batch_id, rows}
     metrics: dict
+    # compacted-ledger watermarks: prefix -> max contiguous committed id
+    ledger_watermarks: dict = None  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.ledger_watermarks is None:
+            self.ledger_watermarks = {}
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=1, sort_keys=True)
@@ -223,7 +229,7 @@ class PagesTable:
         bid = str(batch_id)
         m = self.manifest()
         cfg = cfg or TableConfig(name="web.pages")
-        if bid in m.committed_batches:
+        if self._is_committed(m, bid):
             return {"batch_id": bid, "skipped": True, "reason": "already committed"}
 
         events = table_filter(events, [cfg.name])
@@ -376,6 +382,69 @@ class PagesTable:
                     total += pq.read_metadata(os.path.join(d, fn)).num_rows
             counts[b] = total
         return counts
+
+    # ------------------------------------------------------------------
+    # maintenance (Iceberg expire_snapshots / remove_orphan_files parity)
+    # ------------------------------------------------------------------
+    def vacuum(self) -> dict:
+        """Delete data dirs not referenced by the CURRENT manifest (old
+        bucket versions + orphans from crashed attempts). Safe because
+        commits are copy-on-write: the current snapshot never references a
+        dir this removes. Readers of OLD snapshots lose time travel — run
+        it like Iceberg's expire_snapshots, on a retention schedule."""
+        import shutil
+
+        m = self.manifest()
+        referenced = {d.split(os.sep)[1] for d in m.buckets.values()}
+        data_root = os.path.join(self.path, "data")
+        removed, freed = [], 0
+        for entry in os.listdir(data_root):
+            if entry in referenced:
+                continue
+            p = os.path.join(data_root, entry)
+            for root, _, files in os.walk(p):
+                freed += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(entry)
+        return {"removed_dirs": removed, "freed_bytes": freed}
+
+    def compact_ledger(self) -> dict:
+        """Fold contiguous numeric batch-id prefixes into watermarks so the
+        committed-batches list stays O(recent) at 10^6+ batches. An id
+        ``<prefix>-<k>`` is committed iff k ≤ watermark[prefix] or it is in
+        the explicit list. Assumes redelivery only happens within the
+        un-compacted window — true for streaming (checkpointed, monotonic
+        batchIds) and for file-seq replay."""
+        m = self.manifest()
+        by_prefix: dict[str, set[int]] = {}
+        keep: list[str] = []
+        for bid in m.committed_batches:
+            prefix, _, num = bid.rpartition("-")
+            if prefix and num.isdigit():
+                by_prefix.setdefault(prefix, set()).add(int(num))
+            else:
+                keep.append(bid)
+        watermarks = dict(getattr(m, "ledger_watermarks", {}) or {})
+        for prefix, nums in by_prefix.items():
+            w = watermarks.get(prefix, -1)
+            while (w + 1) in nums:
+                w += 1
+            watermarks[prefix] = w
+            keep.extend(f"{prefix}-{k}" for k in sorted(nums) if k > w)
+        m.ledger_watermarks = watermarks
+        before = len(m.committed_batches)
+        m.committed_batches = keep
+        m.version += 1
+        self._commit(m)
+        return {"entries_before": before, "entries_after": len(keep), "watermarks": watermarks}
+
+    def _is_committed(self, m: Manifest, bid: str) -> bool:
+        if bid in m.committed_batches:
+            return True
+        prefix, _, num = bid.rpartition("-")
+        if prefix and num.isdigit():
+            return int(num) <= (getattr(m, "ledger_watermarks", {}) or {}).get(prefix, -1)
+        return False
 
     # ------------------------------------------------------------------
     # observability

@@ -1,0 +1,83 @@
+"""Multimodal plumbing: schemas, batch shapes, explode semantics, and the
+deterministic fake codecs (real decoders are absent in this container)."""
+
+import numpy as np
+import struct
+
+from mysql_syncer_spark.functions.multimodal import (
+    audio_features,
+    decode_image_meta,
+    make_audio_bytes,
+    make_image_bytes,
+    make_video_bytes,
+    resize_image,
+    sample_video_frames,
+)
+
+
+def _media_df(spark, maker, n=20, **kw):
+    rows = [(i, maker(i, **kw)) for i in range(n)]
+    return spark.createDataFrame(rows, "media_id long, media binary")
+
+
+def test_image_meta(spark):
+    df = _media_df(spark, make_image_bytes, w=32, h=24, c=3)
+    out = {r["media_id"]: r for r in decode_image_meta(df).collect()}
+    assert len(out) == 20
+    assert out[0]["width"] == 32 and out[0]["height"] == 24 and out[0]["channels"] == 3
+    assert out[0]["n_bytes"] == 9 + 32 * 24 * 3
+
+
+def test_image_resize_roundtrip(spark):
+    df = _media_df(spark, make_image_bytes, n=5, w=32, h=24, c=3)
+    out = resize_image(df, 8, 6).collect()
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 6
+        w, h, c = struct.unpack_from("<HHB", bytes(r["media"]), 4)
+        assert (w, h, c) == (8, 6, 3)
+        assert len(r["media"]) == 9 + 8 * 6 * 3
+    # determinism: same input -> same resized bytes
+    again = resize_image(df, 8, 6).collect()
+    assert {r["media_id"]: bytes(r["media"]) for r in out} == {
+        r["media_id"]: bytes(r["media"]) for r in again
+    }
+
+
+def test_audio_features_match_numpy(spark):
+    df = _media_df(spark, make_audio_bytes, n=8, sr=16000, seconds=0.25)
+    out = {r["media_id"]: r for r in audio_features(df).collect()}
+    for i in range(8):
+        raw = make_audio_bytes(i, sr=16000, seconds=0.25)
+        samples = np.frombuffer(raw, np.int16, offset=8)
+        expect_rms = round(float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))), 4)
+        r = out[i]
+        assert r["sample_rate"] == 16000
+        assert r["n_samples"] == 4000
+        assert abs(r["duration_s"] - 0.25) < 1e-9
+        assert abs(r["rms"] - expect_rms) < 1e-9
+
+
+def test_video_frame_sampling_explodes(spark):
+    df = _media_df(spark, make_video_bytes, n=3, w=16, h=12, fps=8, n_frames=24)
+    out = sample_video_frames(df, every_n=4).collect()
+    # 24 frames / every 4 = 6 rows per video
+    assert len(out) == 3 * 6
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+        assert len(r["frame"]) == 16 * 12
+    for vid, rows in by_id.items():
+        idxs = sorted(r["frame_idx"] for r in rows)
+        assert idxs == [0, 4, 8, 12, 16, 20]
+        ts = {r["frame_idx"]: r["ts_s"] for r in rows}
+        assert ts[8] == 1.0  # frame 8 at 8 fps
+
+
+def test_unknown_format_raises(spark):
+    df = spark.createDataFrame([(0, b"JUNKDATA")], "media_id long, media binary")
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as ei:
+        decode_image_meta(df).collect()
+    assert "unknown image format" in str(ei.value)
