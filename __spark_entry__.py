@@ -37,10 +37,13 @@ from mysql_syncer_spark.functions.similarity import (
     pairwise_cosine_within_block,
 )
 from mysql_syncer_spark.functions.text import (
+    BPE_PAT,
     fingerprint,
     lang_id,
     quality_features,
+    rolling_fingerprint,
     token_count,
+    token_count_bpe,
 )
 from mysql_syncer_spark.operators.dedup import lww_dedup
 
@@ -275,6 +278,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def q_doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_bpe(F.col("text")).alias("n_bpe_tokens"))
+
+
+def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("rfp"))
+
+
 def q_doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_t(spark, sf_dir, "documents"), k=8)
 
@@ -470,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_token_count_bpe": q_doc_token_count_bpe,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "doc_minhash_signatures": q_doc_minhash,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard,
@@ -603,6 +618,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+        """,
+        "doc_token_count_bpe": (
+            "SELECT doc_id, len(regexp_extract_all(text, '"
+            + BPE_PAT.replace("'", "''")
+            + "')) AS n_bpe_tokens FROM documents"
+        ),
+        "doc_rolling_fingerprint": r"""
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         t -> (length(t)::BIGINT * 96769 + ascii(t)) % 1000000007)),
+                     (a, b) -> (a * 1000003 + b) % 1000000007) AS rfp
+            FROM documents
         """,
         "doc_minhash_signatures": f"""
             {_TOK_CTE}, {sig_sql}

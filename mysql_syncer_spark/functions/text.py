@@ -141,6 +141,40 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+# GPT2-ish pre-tokenizer: contraction suffixes, letter runs, digit runs,
+# punctuation runs (space-prefixed). Works identically under Java regex and
+# RE2 (no lookaheads used).
+BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count (subword-boundary approximation for LLM-corpus
+    budgeting) — one JVM regexp_count, no Python."""
+    return F.regexp_count(text, F.lit(BPE_PAT))
+
+
+_RH_MOD = 1_000_000_007
+_RH_MUL = 1_000_003
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Karp-Rabin-style rolling hash over the whitespace token stream:
+    fold acc = (acc*MUL + h(token)) mod P with h = len*96769 + ascii(first).
+    Order-sensitive (unlike a bag-of-words md5), pure int64 arithmetic in
+    a higher-order fold — engine-portable and collision-checkable."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    toks = F.split(norm, " ")
+    hashes = F.transform(
+        toks,
+        lambda t: (F.length(t) * F.lit(96769) + F.ascii(t)).cast("long") % _RH_MOD,
+    )
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * _RH_MUL + h) % _RH_MOD,
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over normalized text (lower + collapsed
     whitespace). Stable across engines (md5 of UTF-8 bytes)."""
