@@ -66,6 +66,31 @@ def extract_text_sql(html: Column) -> Column:
     return F.trim(F.regexp_replace(s, _WS_PAT, " "))
 
 
+@pandas_udf(T.StringType())
+def fill_text_udf(html: pd.Series, text: pd.Series) -> pd.Series:
+    """Extraction that fills ONLY missing text (merge winners coming from
+    the change stream); rows that already carry text (current-state
+    winners, tombstones) pass through untouched — so post-merge extraction
+    costs scale with newly-won rows, not table rows."""
+    need = text.isna() & html.notna()
+    if not need.any():
+        return text
+    s = html[need].map(lambda b: b.decode("utf-8", "replace"))
+    s = s.str.replace(_TAG_PAT, " ", regex=True)
+    for ent, ch in _ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    s = s.str.replace(_WS_PAT, " ", regex=True).str.strip()
+    out = text.copy()
+    out[need] = s
+    return out
+
+
+def with_filled_text(
+    df: DataFrame, html_col: str = "html", text_col: str = "text"
+) -> DataFrame:
+    return df.withColumn(text_col, fill_text_udf(F.col(html_col), F.col(text_col)))
+
+
 def with_extracted_text(
     df: DataFrame, html_col: str = "html", out_col: str = "text", impl: str = "pandas"
 ) -> DataFrame:

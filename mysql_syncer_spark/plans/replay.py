@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import TableConfig
-from ..functions.text import with_extracted_text
+from ..functions.text import with_extracted_text, with_filled_text
 from ..sink.pages_table import PagesTable
 from ..sources.event_log import read_event_log
 
@@ -23,11 +23,15 @@ _BINLOG_RE = re.compile(r"binlog-(\d+)\.parquet$")
 
 
 def default_pages_config(text_impl: str = "pandas") -> TableConfig:
-    """web.pages binding: extract text from html on the winners of each
-    batch (post-dedup — extraction cost scales with unique urls per batch,
-    not raw events)."""
+    """web.pages binding. The transform runs on MERGE WINNERS (post-LWW):
+    the fill-missing extractor touches only rows newly won from the change
+    stream (current-state winners already carry text), so extraction cost
+    scales with the batch's unique winning urls, not table size or raw
+    event count."""
 
     def transform(df: DataFrame) -> DataFrame:
+        if text_impl == "pandas":
+            return with_filled_text(df, "html", "text")
         return with_extracted_text(df, "html", "text", impl=text_impl)
 
     return TableConfig(name="web.pages", transform=transform)

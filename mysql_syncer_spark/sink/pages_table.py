@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from ..config import TableConfig
 from ..model import DDL_DTYPES
 from ..operators.filters import op_filter, oversized_ddl_filter, table_filter
-from ..operators.merge import HIDDEN_COLS, batch_to_state, live_view, merge_state
+from ..operators.merge import batch_to_state, live_view
 from ..operators.routing import split_row_and_ddl
 
 BASE_SCHEMA: list[list[str]] = [
@@ -211,12 +211,17 @@ class PagesTable:
     ) -> dict:
         """Apply one micro-batch of CDC events. Idempotent on ``batch_id``.
 
-        Pipeline (all lazy until the single write):
+        Pipeline — ONE payload shuffle total:
         filter (F1-F4) → split row/DDL → DDL → manifest schema (D3) →
-        project via column mapping → per-batch LWW dedup (D1, map-side
-        combined) → transform (D4, post-dedup: extraction runs on winners
-        only) → bucket → union touched-bucket state → LWW merge → CoW write
-        of touched buckets → atomic manifest commit (ledger + lineage).
+        project via column mapping → [light keys-only pass: touched buckets
+        + event counts, column-pruned scan, no payload] → union touched-
+        bucket state → repartition by bucket (the one payload shuffle) →
+        groupBy(bucket, key) LWW max_by — batch dedup and merge collapse
+        into one aggregate, and hash(bucket) already satisfies its
+        distribution so NO second exchange → transform (D4: extraction
+        fills only newly-won rows) → bucket-partitioned write with no
+        repartition (data is already bucket-clustered) → atomic manifest
+        commit (ledger + lineage).
         """
         t0 = time.time()
         profile = os.environ.get("MSSS_PROFILE") == "1"
@@ -250,67 +255,61 @@ class PagesTable:
             self._apply_ddl(m, d)
         mark("ddl_collect")
 
-        # --- batch → state rows, LWW-deduped --------------------------
+        # --- batch → state rows --------------------------------------
         batch_state = batch_to_state(row_events, m.column_mapping, cfg.on_delete)
-        from ..operators.dedup import lww_dedup  # local import to avoid cycle
+        bucket_col = F.pmod(
+            F.xxhash64(*cfg.key_columns), F.lit(m.num_buckets)
+        ).cast("int")
+        wb = batch_state.withColumn("_bucket", bucket_col)
 
-        deduped = lww_dedup(
-            batch_state,
-            list(cfg.key_columns),
-            ["_lww_ts_us", "_lww_pos", "_lww_file"],
-            count_col="_n_src",
+        # Light keys-only pass: Catalyst prunes the scan to the key/op
+        # columns (no payload bytes move). Bounded by num_buckets rows.
+        stats = wb.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        touched = sorted(int(r["_bucket"]) for r in stats)
+        events_in = int(sum(r["n"] for r in stats))
+        current_rows = sum(
+            m.lineage.get(str(b), {}).get("rows", 0) for b in touched
         )
-        if cfg.transform is not None:
-            deduped = cfg.transform(deduped)
-        deduped = deduped.withColumn(
-            "_bucket",
-            F.pmod(F.xxhash64(*cfg.key_columns), F.lit(m.num_buckets)).cast("int"),
-        )
-        deduped = deduped.persist()
-        try:
-            # ONE action for all batch stats: touched buckets, input events
-            # (sum of per-winner source counts), winner rows. Bounded by
-            # num_buckets rows, safe to collect at any scale.
-            stats = deduped.groupBy("_bucket").agg(
-                F.sum("_n_src").alias("n_src"), F.count(F.lit(1)).alias("n_rows")
-            ).collect()
-            touched = sorted(int(r["_bucket"]) for r in stats)
-            events_in = int(sum(r["n_src"] for r in stats))
-            rows_in_batch = int(sum(r["n_rows"] for r in stats))
-            mark("dedup_extract_stats")
+        mark("key_stats")
 
-            new_dirs: dict[str, str] = {}
-            lineage_rows: dict[str, int] = {}
-            if touched:
-                current = self._read_buckets(m, touched)
-                new_state = merge_state(
-                    current,
-                    deduped.drop("_bucket", "_n_src"),
-                    key_cols=cfg.key_columns,
+        new_dirs: dict[str, str] = {}
+        lineage_rows: dict[str, int] = {}
+        if touched:
+            current = self._read_buckets(m, touched)
+            if current is not None:
+                unioned = current.withColumn("_bucket", bucket_col).unionByName(
+                    wb, allowMissingColumns=True
                 )
-                new_state = new_state.withColumn(
-                    "_bucket",
-                    F.pmod(
-                        F.xxhash64(*cfg.key_columns), F.lit(m.num_buckets)
-                    ).cast("int"),
-                )
-                # uuid suffix: a crashed attempt's orphan dir can never
-                # collide with the retry's write (orphans are GC-able).
-                rel = os.path.join("data", f"v{m.version + 1:08d}-{uuid.uuid4().hex[:8]}")
-                out = os.path.join(self.path, rel)
-                # One file per bucket partition dir; AQE coalesces the
-                # shuffle, partitionBy splits by bucket on write.
-                new_state.repartition("_bucket").write.mode("error").partitionBy(
-                    "_bucket"
-                ).parquet(out)
-                mark("merge_write")
-                for entry in os.listdir(out):
-                    if entry.startswith("_bucket="):
-                        b = entry.split("=", 1)[1]
-                        new_dirs[b] = os.path.join(rel, entry)
-                lineage_rows = self._footer_rowcounts(out)
-        finally:
-            deduped.unpersist()
+            else:
+                unioned = wb
+            data_cols = [c for c in unioned.columns if c != "_bucket"]
+            from ..operators.dedup import rank_struct  # local: avoid cycle
+
+            rank = rank_struct(unioned, ["_lww_ts_us", "_lww_pos", "_lww_file"])
+            merged = (
+                unioned.repartition("_bucket")
+                .groupBy("_bucket", *cfg.key_columns)
+                .agg(F.max_by(F.struct(*data_cols), rank).alias("_w"))
+                .select("_bucket", "_w.*")
+            )
+            if cfg.transform is not None:
+                merged = cfg.transform(merged)
+            # uuid suffix: a crashed attempt's orphan dir can never
+            # collide with the retry's write (orphans are GC-able).
+            rel = os.path.join(
+                "data", f"v{m.version + 1:08d}-{uuid.uuid4().hex[:8]}"
+            )
+            out = os.path.join(self.path, rel)
+            # already hash-clustered by _bucket → partitionBy writes one
+            # file per bucket with NO extra shuffle
+            merged.write.mode("error").partitionBy("_bucket").parquet(out)
+            mark("merge_write")
+            for entry in os.listdir(out):
+                if entry.startswith("_bucket="):
+                    b = entry.split("=", 1)[1]
+                    new_dirs[b] = os.path.join(rel, entry)
+            lineage_rows = self._footer_rowcounts(out)
+        rows_in_batch = sum(lineage_rows.values())
 
         # --- atomic commit: data + ledger + schema in one manifest ----
         m.version += 1
@@ -322,8 +321,10 @@ class PagesTable:
         m.metrics = {
             "batch_id": bid,
             "events_in": events_in,
-            "rows_after_dedup": rows_in_batch,
-            "dedup_hits": events_in - rows_in_batch,
+            "rows_after_dedup": rows_in_batch,  # winner rows written
+            # events folded away by LWW: batch rows + prior state rows
+            # that did not survive as winners
+            "dedup_hits": max(0, events_in + current_rows - rows_in_batch),
             "ddl_applied": n_ddl,
             "buckets_touched": len(touched),
             "merge_ms": merge_ms,
