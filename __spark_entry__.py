@@ -141,6 +141,35 @@ def q_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_final_state_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 reference parity: the registered delete handler is a NO-OP
+    (/root/reference/src/slave/rs_mysql_test_test.c:84-87) — deletes never
+    advance the rank, final state = LWW over I/U events only."""
+    ev = _cdc_stream(spark, sf_dir).filter(F.col("op") != "D")
+    win = lww_dedup(ev, ["user_id"], ["ts", "event_id"])
+    return win.select(
+        F.col("user_id"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_txn_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.1 transaction bracket (BEGIN..XID): events grouped into ~7-event
+    transactions; checkpoint records only at txn close (gate at
+    /root/reference/src/master/rs_parse_binlog.c:428)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("tx_id", F.floor(F.col("event_id") / 7))
+        .groupBy("tx_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_pos"),
+            F.max("event_id").alias("last_pos"),
+        )
+    )
+
+
 def q_op_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/R2: event-type dispatch census."""
     return (
@@ -464,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_final_state": q_lww_final_state,
         "cdc_salted_lww_final_state": q_salted_lww,
         "cdc_merge_final_state": q_merge_final_state,
+        "cdc_merge_final_state_ignore_deletes": q_merge_final_state_ignore,
+        "cdc_txn_boundaries": q_txn_boundaries,
         "cdc_op_routing_counts": q_op_routing_counts,
         "cdc_table_filter": q_table_filter,
         "cdc_oversized_skip": q_oversized_skip,
@@ -514,6 +545,18 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY ts DESC, event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_merge_final_state_ignore_deletes": f"""
+            SELECT user_id, event_id AS last_event_id, value AS last_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM (SELECT * FROM events WHERE {_OP_SQL} <> 'D'))
+            WHERE rn = 1
+        """,
+        "cdc_txn_boundaries": """
+            SELECT floor(event_id/7)::BIGINT AS tx_id, count(*) AS n_events,
+                   min(event_id) AS first_pos, max(event_id) AS last_pos
+            FROM events GROUP BY 1
         """,
         "cdc_op_routing_counts": f"""
             SELECT {_OP_SQL} AS op, count(*) AS n_events
