@@ -362,6 +362,16 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(e, _query_vec(spark, sf_dir), dim=64, k=10, n_planes=6)
 
 
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means centroids (deterministic seeded sample) → probe the
+    nearest clusters only. Not SQL-expressible → rows-only."""
+    from mysql_syncer_spark.functions.similarity import ivf_topk, train_ivf_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(e, k=8, sample_rows=512, seed=42)
+    return ivf_topk(e, _query_vec(spark, sf_dir), cents, k=10, n_probe=3)
+
+
 # ---------------------------------------------------------------------------
 # full-engine replay (not SQL-expressible → rows-only check)
 # ---------------------------------------------------------------------------
@@ -524,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_block_cosine_pairs": q_emb_block_cosine,
         "emb_ann_lsh_topk": q_emb_ann_lsh,
+        "emb_ivf_topk": q_emb_ivf_topk,
     }
 
 

@@ -122,6 +122,75 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket_udf(F.col(vec_col)))
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Driver-side mini k-means on a DETERMINISTIC sample (lowest ids —
+    stable across runs/partitionings, unlike rdd.takeSample). k-means++-ish
+    seeded init, few Lloyd iterations. At 100 TB you train on a sample
+    regardless; only assignment is distributed."""
+    sample = (
+        df.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    )
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(0)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid — one numpy distance
+    matrix per Arrow batch. The cluster id is the IVF partition key: at
+    scale you write the table partitioned by it, so probing reads only
+    n_probe partitions."""
+    cent = centroids.astype(np.float64)
+
+    @pandas_udf(T.IntegerType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        d2 = (mat**2).sum(1)[:, None] - 2 * mat @ cent.T + (cent**2).sum(1)[None, :]
+        return pd.Series(d2.argmin(1).astype(np.int32))
+
+    return df.withColumn(out_col, assign_udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only vectors in the query's n_probe nearest
+    clusters (the Iceberg-partition-pruned scan path at scale)."""
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((centroids - q) ** 2).sum(1)
+    probes = [int(i) for i in d2.argsort()[:n_probe]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    cand = assigned.filter(F.col("cluster").isin(probes))
+    return cosine_topk(cand, query, k, id_col, vec_col)
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query: list[float],

@@ -60,6 +60,31 @@ def test_lsh_bucket_matches_numpy_planes(spark):
         assert got[i] == int(expect[i])
 
 
+def test_ivf_recall_on_clustered_data(spark):
+    """Clustered vectors: IVF with n_probe=2 recovers most of the exact
+    top-10, deterministic across runs."""
+    from mysql_syncer_spark.functions.similarity import ivf_topk, train_ivf_centroids
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((6, 16)) * 5
+    vecs = np.vstack(
+        [centers[i % 6] + rng.standard_normal(16) * 0.3 for i in range(300)]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = train_ivf_centroids(df, k=6, sample_rows=300, seed=42)
+    q = [float(x) for x in vecs[10]]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(df, q, cents, k=10, n_probe=2).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, (recall, exact, approx)
+    # determinism
+    cents2 = train_ivf_centroids(df, k=6, sample_rows=300, seed=42)
+    assert np.allclose(cents, cents2)
+
+
 def test_ann_returns_query_bucket_subset(spark):
     df, vecs = _emb(spark, n=200, dim=16)
     q = [float(x) for x in vecs[7]]
