@@ -170,6 +170,30 @@ def q_txn_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the dump-session
+    lifecycle analytics analogue (reference tracks sessions via slot
+    alloc/teardown, /root/reference/src/master/rs_request_dump.c:241-336).
+    lag → gap flag → running sum = session id → per-session aggregate."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_seq", F.sum("new_sess").over(w))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.min(F.col("ts").cast("timestamp"))).alias("start_us"),
+        F.unix_micros(F.max(F.col("ts").cast("timestamp"))).alias("end_us"),
+    )
+
+
 def q_op_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/R2: event-type dispatch census."""
     return (
@@ -505,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_final_state": q_merge_final_state,
         "cdc_merge_final_state_ignore_deletes": q_merge_final_state_ignore,
         "cdc_txn_boundaries": q_txn_boundaries,
+        "cdc_sessionization": q_sessionization,
         "cdc_op_routing_counts": q_op_routing_counts,
         "cdc_table_filter": q_table_filter,
         "cdc_oversized_skip": q_oversized_skip,
@@ -568,6 +593,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT floor(event_id/7)::BIGINT AS tx_id, count(*) AS n_events,
                    min(event_id) AS first_pos, max(event_id) AS last_pos
             FROM events GROUP BY 1
+        """,
+        "cdc_sessionization": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 30*60*1000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+                SELECT user_id, ts, event_id,
+                       sum(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS session_seq
+                FROM flagged)
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+            FROM sess GROUP BY user_id, session_seq
         """,
         "cdc_op_routing_counts": f"""
             SELECT {_OP_SQL} AS op, count(*) AS n_events
