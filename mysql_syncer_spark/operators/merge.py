@@ -51,6 +51,9 @@ def batch_to_state(
         # (/root/reference/src/slave/rs_mysql_test_test.c:84-87).
         row_events = row_events.filter(~is_del)
         is_del = F.lit(False)
+    # dead-letter: a row event without a key cannot be applied (the
+    # reference would fail the row decode); dropped, not crashed on
+    row_events = row_events.filter(F.col("after.url").isNotNull())
     return row_events.select(
         *cols,
         F.unix_micros(F.col("after.warc_ts")).alias("_lww_ts_us"),
