@@ -37,6 +37,26 @@ def default_pages_config(text_impl: str = "pandas") -> TableConfig:
     return TableConfig(name="web.pages", transform=transform)
 
 
+def replay_multi(
+    spark: SparkSession,
+    event_dir: str,
+    base_path: str,
+    registry: dict[str, TableConfig],
+    num_buckets: int = 64,
+) -> dict:
+    """Multi-table replay (SURVEY R1): one event log carrying several
+    ``db.tb`` streams, routed to one target table per registered config —
+    the dict-registry equivalent of the reference's compile-time handler
+    array (/root/reference/src/slave/rs_register_tables.c:6-36).
+    Unregistered tables are skipped (hash-miss behavior). Each target keeps
+    its own ledger, so per-table idempotence is independent."""
+    results = {}
+    for name, cfg in registry.items():
+        path = os.path.join(base_path, name.replace(".", "_"))
+        results[name] = replay(spark, event_dir, path, cfg, num_buckets)
+    return results
+
+
 def replay(
     spark: SparkSession,
     event_dir: str,

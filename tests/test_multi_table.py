@@ -1,0 +1,49 @@
+"""R1: one change stream carrying two tables routes to two targets; the
+unregistered third table is skipped (hash-miss parity)."""
+
+import os
+import tempfile
+
+import pyarrow as pa
+
+from mysql_syncer_spark.config import TableConfig
+from mysql_syncer_spark.generator import GenSpec, generate_events
+from mysql_syncer_spark.oracle import sequential_replay
+from mysql_syncer_spark.plans.replay import replay_multi
+from mysql_syncer_spark.sink.pages_table import PagesTable
+from tests.test_replay_parity import assert_state_equal
+
+
+def _retable(tbl: pa.Table, name: str) -> pa.Table:
+    i = tbl.schema.get_field_index("table")
+    col = pa.array([name] * tbl.num_rows, pa.string())
+    return tbl.set_column(i, "table", col)
+
+
+def test_two_tables_routed_one_skipped(spark, tmp_path):
+    a = generate_events(GenSpec(n_events=1200, seed=7, ddl_scenario=()))
+    b = _retable(generate_events(GenSpec(n_events=800, seed=8, ddl_scenario=())), "web.assets")
+    c = _retable(generate_events(GenSpec(n_events=400, seed=9, ddl_scenario=())), "web.unregistered")
+    mixed = pa.concat_tables([a, b, c])
+    from mysql_syncer_spark.generator import write_event_log
+
+    d = str(tmp_path / "log")
+    write_event_log(mixed, d)
+
+    registry = {
+        "web.pages": TableConfig(name="web.pages"),
+        "web.assets": TableConfig(name="web.assets"),
+    }
+    base = str(tmp_path / "tables")
+    res = replay_multi(spark, d, base, registry, num_buckets=4)
+    assert set(res) == {"web.pages", "web.assets"}
+
+    oracle_a, _, _ = sequential_replay(a, extract_text=False)
+    oracle_b, _, _ = sequential_replay(b, extract_text=False)
+    ta = PagesTable(spark, os.path.join(base, "web_pages"))
+    tb = PagesTable(spark, os.path.join(base, "web_assets"))
+    # no transform registered → text stays as shipped (None); compare raw
+    assert_state_equal(ta.read().collect(), oracle_a)
+    assert_state_equal(tb.read().collect(), oracle_b)
+    # unregistered table left no target
+    assert not os.path.exists(os.path.join(base, "web_unregistered"))
