@@ -50,7 +50,7 @@ def extract_text_bytes(html: bytes) -> str:
 def extract_text_udf(html: pd.Series) -> pd.Series:
     """Arrow-batched extraction: vectorized pandas string ops over the whole
     batch (no per-row Python function calls)."""
-    s = html.map(lambda b: b.decode("utf-8", "replace") if b is not None else None)
+    s = html.str.decode("utf-8", errors="replace")
     s = s.str.replace(_TAG_PAT, " ", regex=True)
     for ent, ch in _ENTITIES:
         s = s.str.replace(ent, ch, regex=False)
@@ -75,7 +75,7 @@ def fill_text_udf(html: pd.Series, text: pd.Series) -> pd.Series:
     need = text.isna() & html.notna()
     if not need.any():
         return text
-    s = html[need].map(lambda b: b.decode("utf-8", "replace"))
+    s = html[need].str.decode("utf-8", errors="replace")
     s = s.str.replace(_TAG_PAT, " ", regex=True)
     for ent, ch in _ENTITIES:
         s = s.str.replace(ent, ch, regex=False)
