@@ -479,6 +479,36 @@ def q_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stateful_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    in-stream LWW compactor emits only rank-advancing events across
+    micro-batches. Runs a bounded streaming query on a seeded log; the
+    emission multiset is deterministic. Rows-only (streaming state is not
+    SQL-expressible)."""
+    import tempfile
+
+    from mysql_syncer_spark.generator import GenSpec, generate_events, write_event_log
+    from mysql_syncer_spark.sources.event_log import stream_event_log
+    from mysql_syncer_spark.streaming.stateful import streaming_lww_filter
+
+    tbl = generate_events(GenSpec(n_events=1_500, events_per_file=500))
+    base = tempfile.mkdtemp(prefix="entry_state_")
+    log_dir = os.path.join(base, "log")
+    write_event_log(tbl, log_dir)
+    out = streaming_lww_filter(stream_event_log(spark, log_dir, 1))
+    name = "stateful_lww_out"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return spark.sql(f"select url, ts_us, log_pos, file_seq, op from {name}")
+
+
 def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary image column → typed metadata (mapInPandas;
     deterministic synthetic media — codec stubbed, plumbing real)."""
@@ -541,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_into_base_join": q_merge_into_base_join,
         "cdc_engine_replay_final_state": q_engine_replay,
         "cdc_binary_row_decode": q_binary_row_decode,
+        "cdc_stream_stateful_lww": q_stream_stateful_lww,
         "mm_image_meta": q_mm_image_meta,
         "mm_audio_features": q_mm_audio_features,
         "mm_video_frame_sample": q_mm_video_frame_sample,
