@@ -16,8 +16,13 @@ CDC mapping used throughout (events → change stream):
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 from collections.abc import Callable
+
+# the engine package lives next to this file; make the import robust to
+# whatever cwd the driver harness uses
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,7 +57,24 @@ from mysql_syncer_spark.operators.dedup import lww_dedup
 # ---------------------------------------------------------------------------
 
 
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Executor python workers must be able to import mysql_syncer_spark
+    even if the harness built its SparkSession elsewhere: ship the package
+    zip via addPyFile (idempotent per context)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_msss_pyfiles_added", False):
+        return
+    try:
+        from tools.package import main as build_zip
+
+        sc.addPyFile(build_zip())
+    except Exception:
+        pass  # already importable via cwd/PYTHONPATH in the normal setup
+    sc._msss_pyfiles_added = True
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_pyfiles(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -426,6 +448,7 @@ def q_merge_into_base_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_binary_row_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
     """P2-P4: packed binary row-image decode (null bitmap + typed values +
     packed-int lengths) via Arrow mapInPandas. Deterministic synthetic
     blobs (seed 42); not SQL-expressible → rows-only check."""
@@ -457,6 +480,7 @@ def q_binary_row_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
     """End-to-end CDC engine: generate a seeded event log, batch-replay it
     through the exactly-once sink, return the final live state."""
     from mysql_syncer_spark.generator import GenSpec, generate_events, write_event_log
@@ -480,6 +504,7 @@ def q_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_stateful_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
     """Custom stateful streaming operator (applyInPandasWithState): the
     in-stream LWW compactor emits only rank-advancing events across
     micro-batches. Runs a bounded streaming query on a seeded log; the
@@ -510,6 +535,7 @@ def q_stream_stateful_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
     """Multimodal: binary image column → typed metadata (mapInPandas;
     deterministic synthetic media — codec stubbed, plumbing real)."""
     from mysql_syncer_spark.functions.multimodal import (
@@ -523,6 +549,7 @@ def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
     from mysql_syncer_spark.functions.multimodal import audio_features, make_audio_bytes
 
     rows = [(i, make_audio_bytes(i)) for i in range(100)]
@@ -531,6 +558,7 @@ def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
     from mysql_syncer_spark.functions.multimodal import (
         make_video_bytes,
         sample_video_frames,

@@ -27,6 +27,17 @@ def get_spark(
     ~2-3× total cores (AQE coalesces downward at runtime, so erring high
     is safe — erring low causes spills).
     """
+    # UDF closures reference this package: executor python workers import
+    # it via PYTHONPATH (they do not see driver sys.path mutations), so pin
+    # the repo root before the session/workers spawn. On a real cluster
+    # --py-files ships the zip instead.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
+
     n = cores or os.cpu_count() or 8
     master = f"local[{cores}]" if cores else "local[*]"
     builder = (

@@ -21,9 +21,8 @@ def main() -> str:
                 if fn.endswith(".py"):
                     full = os.path.join(root, fn)
                     z.write(full, os.path.relpath(full, REPO))
-    print(out)
     return out
 
 
 if __name__ == "__main__":
-    main()
+    print(main())
