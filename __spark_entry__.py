@@ -216,6 +216,15 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hot_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 planner input: heavy-hitter keys that warrant a salted plan."""
+    from mysql_syncer_spark.operators.skew import hot_key_candidates
+
+    return hot_key_candidates(
+        _t(spark, sf_dir, "events"), ["user_id"], min_share=0.007, top_k=20
+    )
+
+
 def q_op_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/R2: event-type dispatch census."""
     return (
@@ -588,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_final_state_ignore_deletes": q_merge_final_state_ignore,
         "cdc_txn_boundaries": q_txn_boundaries,
         "cdc_sessionization": q_sessionization,
+        "cdc_hot_key_detection": q_hot_key_detection,
         "cdc_op_routing_counts": q_op_routing_counts,
         "cdc_table_filter": q_table_filter,
         "cdc_oversized_skip": q_oversized_skip,
@@ -670,6 +680,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, count(*) AS n_events,
                    epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
             FROM sess GROUP BY user_id, session_seq
+        """,
+        "cdc_hot_key_detection": """
+            SELECT user_id, n_rows, share, rank FROM (
+                SELECT user_id, n_rows,
+                       round(n_rows / (SELECT count(*) FROM events), 6) AS share,
+                       row_number() OVER (ORDER BY n_rows DESC, user_id ASC) AS rank
+                FROM (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1))
+            WHERE share >= 0.007 AND rank <= 20
         """,
         "cdc_op_routing_counts": f"""
             SELECT {_OP_SQL} AS op, count(*) AS n_events
