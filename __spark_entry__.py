@@ -75,6 +75,10 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_pyfiles(spark)
+    # epoch conversions (unix_micros over NTZ casts) must agree with the
+    # DuckDB oracle's epoch_us regardless of how the harness built its
+    # session — pin UTC (runtime-settable conf)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
