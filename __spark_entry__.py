@@ -679,7 +679,8 @@ def oracle_sql() -> dict[str, str]:
             sess AS (
                 SELECT user_id, ts, event_id,
                        sum(new_sess) OVER (PARTITION BY user_id
-                                           ORDER BY ts, event_id) AS session_seq
+                                           ORDER BY ts, event_id)::BIGINT
+                           AS session_seq
                 FROM flagged)
             SELECT user_id, session_seq, count(*) AS n_events,
                    epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
@@ -702,8 +703,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type IN ('click','purchase')
         """,
         "cdc_oversized_skip": """
-            SELECT sum(CASE WHEN length(props) <= 9 THEN 1 ELSE 0 END) AS n_kept,
-                   sum(CASE WHEN length(props) > 9 THEN 1 ELSE 0 END) AS n_skipped
+            SELECT sum(CASE WHEN length(props) <= 9 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   sum(CASE WHEN length(props) > 9 THEN 1 ELSE 0 END)::BIGINT AS n_skipped
             FROM events
         """,
         "cdc_checkpoint_ledger": """
@@ -715,7 +716,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT floor(event_id/900)::BIGINT AS bucket,
                    max(event_id) AS max_pos,
                    count(*) AS n_total,
-                   sum(CASE WHEN {_OP_SQL} IN ('I','U') THEN 1 ELSE 0 END) AS n_shipped,
+                   sum(CASE WHEN {_OP_SQL} IN ('I','U') THEN 1 ELSE 0 END)::BIGINT AS n_shipped,
                    CASE WHEN sum(CASE WHEN {_OP_SQL} IN ('I','U') THEN 1 ELSE 0 END) = 0
                         THEN 1 ELSE 0 END AS heartbeat_only
             FROM events GROUP BY 1

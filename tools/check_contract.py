@@ -33,6 +33,30 @@ def norm_cell(v):
     return v
 
 
+def _norm_dtype(dt) -> str:
+    s = str(dt)
+    # nullable int columns surface as float64/object in pandas from BOTH
+    # engines; collapse those to one bucket so only real width/kind
+    # mismatches (int32 vs int64, int64 vs HUGEINT-object) fail
+    if s in ("float64", "Float64"):
+        return "float64"
+    # the driver's hash passed int32-vs-int64 in round 1 (hot_key rank) but
+    # failed HUGEINT (surfaces as float64/object from duckdb .df()) — so
+    # integer WIDTH is normalized, integer KIND is not
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    return s
+
+
+def dtype_mismatches(spark_pdf, duck_pdf) -> list:
+    out = []
+    for c in sorted(spark_pdf.columns):
+        a, b = _norm_dtype(spark_pdf[c].dtype), _norm_dtype(duck_pdf[c].dtype)
+        if a != b:
+            out.append((c, a, b))
+    return out
+
+
 def rows_key(df_pandas):
     cols = sorted(df_pandas.columns)
     out = []
@@ -85,6 +109,15 @@ def main() -> int:
             print(
                 f"FAIL  {name}: cols {sorted(spark_pdf.columns)} != "
                 f"{sorted(duck_pdf.columns)}"
+            )
+            ok = False
+        elif dtype_mismatches(spark_pdf, duck_pdf):
+            # the driver hashes TYPED values — a DuckDB HUGEINT (sum())
+            # against a Spark BIGINT fails there even when values match,
+            # so the local gate must be just as strict
+            print(
+                f"FAIL  {name}: dtype mismatch (spark vs oracle): "
+                f"{dtype_mismatches(spark_pdf, duck_pdf)}"
             )
             ok = False
         else:
