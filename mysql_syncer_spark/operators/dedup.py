@@ -3,7 +3,8 @@
 The reference gets per-key ordering for free from its single-threaded apply
 loop (/root/reference/src/slave/rs_redis_thread.c:10-85). A parallel MERGE
 needs each batch reduced to ONE row per key first; the winner is the row
-with the greatest ``(warc_ts, log_pos, file_seq)`` rank (north rule).
+with the greatest ``(warc_ts, file_seq, log_pos)`` rank (north rule; file_seq before
+log_pos because log_pos resets at binlog rotation).
 
 Two physical strategies, same semantics:
 

@@ -13,6 +13,12 @@ files / Kafka compaction tombstones.
 Hidden state columns persisted with every row:
   _lww_ts_us:long, _lww_pos:long, _lww_file:int  — the LWW rank
   _deleted:boolean                               — tombstone flag
+
+Rank comparison order is (_lww_ts_us, _lww_file, _lww_pos): log_pos resets
+at every binlog rotation (reference checkpoint format '<file>,<pos>',
+/root/reference/src/slave/rs_slave_info.c), so on a warc_ts tie the file
+sequence must dominate the in-file byte offset — (ts, pos, file) would let
+an earlier file's large offset beat a later file's small one.
 """
 
 from __future__ import annotations
@@ -23,7 +29,7 @@ from pyspark.sql import functions as F
 from .dedup import lww_dedup
 
 HIDDEN_COLS = ["_lww_ts_us", "_lww_pos", "_lww_file", "_deleted"]
-LWW_ORDER = ["_lww_ts_us", "_lww_pos", "_lww_file"]
+LWW_ORDER = ["_lww_ts_us", "_lww_file", "_lww_pos"]
 
 
 def batch_to_state(

@@ -4,7 +4,7 @@ against (SURVEY §5.2 item 2).
 Folds the event log in ARRIVAL order, exactly like the reference's
 single-threaded redis apply thread (/root/reference/src/slave/
 rs_redis_thread.c:10-85), with the north rule's LWW guard layered on:
-an I/U/D event takes effect only if its ``(warc_ts, log_pos, file_seq)``
+an I/U/D event takes effect only if its ``(warc_ts, file_seq, log_pos)``
 rank is STRICTLY greater than the rank already applied for that url —
 this makes replay order-insensitive and duplicate-delivery idempotent,
 matching the engine's parallel max_by/MERGE semantics.
@@ -46,7 +46,7 @@ def sequential_replay(
     column_mapping: wire field name → final column name.
     """
     state: dict[str, dict[str, Any]] = {}
-    rank: dict[str, tuple] = {}  # url -> (warc_ts_us, log_pos, file_seq)
+    rank: dict[str, tuple] = {}  # url -> (warc_ts_us, file_seq, log_pos)
     deleted: set[str] = set()
     columns: list[str] = list(BASE_COLUMNS)
     mapping: dict[str, str] = {c: c for c in BASE_COLUMNS}
@@ -72,7 +72,7 @@ def sequential_replay(
         url = after["url"]
         ts = after["warc_ts"]
         ts_us = _to_us(ts)
-        r = (ts_us, ev["log_pos"], ev["file_seq"])
+        r = (ts_us, ev["file_seq"], ev["log_pos"])
         if url in rank and r <= rank[url]:
             continue  # older or duplicate — LWW guard
         if op == "D":

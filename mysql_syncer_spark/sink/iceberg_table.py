@@ -49,8 +49,10 @@ def build_create_sql(
 def build_merge_sql(table_ident: str, columns: list[str], key: str = "url") -> str:
     """LWW MERGE: update only when the source rank is strictly newer;
     tombstones stay as rows (same semantics as the parquet backend)."""
-    rank_src = "(s._lww_ts_us, s._lww_pos, s._lww_file)"
-    rank_tgt = "(t._lww_ts_us, t._lww_pos, t._lww_file)"
+    # file_seq before log_pos: log_pos resets at binlog rotation (see
+    # operators/merge.py module docstring)
+    rank_src = "(s._lww_ts_us, s._lww_file, s._lww_pos)"
+    rank_tgt = "(t._lww_ts_us, t._lww_file, t._lww_pos)"
     sets = ", ".join(f"t.{c} = s.{c}" for c in columns)
     ins_cols = ", ".join(columns)
     ins_vals = ", ".join(f"s.{c}" for c in columns)
@@ -92,7 +94,7 @@ def apply_batch_iceberg(
         spark.sql(build_ddl_sql(table_ident, r.asDict()))
     state = batch_to_state(op_filter(row_events), column_mapping, cfg.on_delete)
     deduped = lww_dedup(
-        state, list(cfg.key_columns), ["_lww_ts_us", "_lww_pos", "_lww_file"]
+        state, list(cfg.key_columns), ["_lww_ts_us", "_lww_file", "_lww_pos"]
     )
     if cfg.transform is not None:
         deduped = cfg.transform(deduped)

@@ -285,7 +285,7 @@ class PagesTable:
             data_cols = [c for c in unioned.columns if c != "_bucket"]
             from ..operators.dedup import rank_struct  # local: avoid cycle
 
-            rank = rank_struct(unioned, ["_lww_ts_us", "_lww_pos", "_lww_file"])
+            rank = rank_struct(unioned, ["_lww_ts_us", "_lww_file", "_lww_pos"])
             merged = (
                 unioned.repartition("_bucket")
                 .groupBy("_bucket", *cfg.key_columns)

@@ -3,8 +3,8 @@
 The sink already achieves exactly-once LWW via per-batch max_by + MERGE
 (stateless in the stream, state in the table — SURVEY §7.4 point 5, the
 scale-safe default). This operator is the complementary *in-stream* form:
-``applyInPandasWithState`` keeps the running max ``(warc_ts, log_pos,
-file_seq)`` rank per url and emits ONLY rank-advancing events — a streaming
+``applyInPandasWithState`` keeps the running max ``(warc_ts, file_seq,
+log_pos)`` rank per url and emits ONLY rank-advancing events — a streaming
 change-compactor that suppresses duplicates/regressions before they reach
 the sink (useful when the sink is append-only or expensive per event).
 
@@ -25,8 +25,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("ts_us", T.LongType()),
-        T.StructField("log_pos", T.LongType()),
         T.StructField("file_seq", T.LongType()),
+        T.StructField("log_pos", T.LongType()),
     ]
 )
 
@@ -47,8 +47,8 @@ def _advance(
     cur = tuple(state.get) if state.exists else (-(2**62), -(2**62), -(2**62))
     url = key[0]
     for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "log_pos", "file_seq"])
-        ranks = list(zip(pdf["ts_us"], pdf["log_pos"], pdf["file_seq"]))
+        pdf = pdf.sort_values(["ts_us", "file_seq", "log_pos"])
+        ranks = list(zip(pdf["ts_us"], pdf["file_seq"], pdf["log_pos"]))
         keep = []
         for i, r in enumerate(ranks):
             r = (int(r[0]), int(r[1]), int(r[2]))

@@ -21,8 +21,20 @@ def test_higher_log_pos_wins_on_ts_tie(spark):
         spark,
         [("u", TS, "old", 10, 0), ("u", TS, "new", 20, 0)],
     )
-    out = lww_dedup(df, ["url"], ["warc_ts", "log_pos", "file_seq"]).collect()
+    out = lww_dedup(df, ["url"], ["warc_ts", "file_seq", "log_pos"]).collect()
     assert len(out) == 1 and out[0]["payload"] == "new"
+
+
+def test_file_seq_dominates_log_pos_on_ts_tie(spark):
+    """log_pos resets at binlog rotation: on a warc_ts tie, a later FILE's
+    small offset must beat an earlier file's large offset (regression for
+    the (ts, pos, file) inversion)."""
+    df = _df(
+        spark,
+        [("u", TS, "old-file-big-pos", 9999, 0), ("u", TS, "new-file-small-pos", 4, 1)],
+    )
+    out = lww_dedup(df, ["url"], ["warc_ts", "file_seq", "log_pos"]).collect()
+    assert out[0]["payload"] == "new-file-small-pos"
 
 
 def test_warc_ts_dominates_log_pos(spark):
@@ -30,13 +42,13 @@ def test_warc_ts_dominates_log_pos(spark):
         spark,
         [("u", TS + dt.timedelta(days=1), "late-ts", 10, 0), ("u", TS, "late-pos", 99, 0)],
     )
-    out = lww_dedup(df, ["url"], ["warc_ts", "log_pos", "file_seq"]).collect()
+    out = lww_dedup(df, ["url"], ["warc_ts", "file_seq", "log_pos"]).collect()
     assert out[0]["payload"] == "late-ts"
 
 
 def test_null_ts_ranks_lowest(spark):
     df = _df(spark, [("u", None, "null-ts", 99, 9), ("u", TS, "has-ts", 1, 0)])
-    out = lww_dedup(df, ["url"], ["warc_ts", "log_pos", "file_seq"]).collect()
+    out = lww_dedup(df, ["url"], ["warc_ts", "file_seq", "log_pos"]).collect()
     assert out[0]["payload"] == "has-ts"
 
 
@@ -49,7 +61,7 @@ def test_three_strategies_agree(spark, sf_dir):
         .withColumn("log_pos", F.col("event_id"))
         .withColumn("file_seq", F.lit(0))
     )
-    order = ["warc_ts", "log_pos", "file_seq"]
+    order = ["warc_ts", "file_seq", "log_pos"]
     a = lww_dedup(ev, ["url"], order, method="max_by")
     b = lww_dedup(ev, ["url"], order, method="salted", salt_buckets=4)
     c = lww_dedup(ev, ["url"], order, method="window")
@@ -69,7 +81,7 @@ def test_dedup_plan_is_partial_aggregate(spark, sf_dir):
         .withColumn("log_pos", F.col("event_id"))
         .withColumn("file_seq", F.lit(0))
     )
-    plan = lww_dedup(ev, ["url"], ["warc_ts", "log_pos", "file_seq"])._jdf.queryExecution().executedPlan().toString()
+    plan = lww_dedup(ev, ["url"], ["warc_ts", "file_seq", "log_pos"])._jdf.queryExecution().executedPlan().toString()
     # struct-valued max_by buffers plan as SortAggregate; the scale property
     # we need is the MAP-SIDE PARTIAL combine before the exchange.
     assert "partial_max_by" in plan

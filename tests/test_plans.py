@@ -55,7 +55,7 @@ def test_merge_single_exchange(spark, event_log_dir, tmp_table_path):
         {c: c for c in ["url", "warc_ts", "html", "text", "lang"]},
     ).withColumn("_bucket", F.pmod(F.xxhash64("url"), F.lit(8)).cast("int"))
     data_cols = [c for c in bs.columns if c != "_bucket"]
-    rank = rank_struct(bs, ["_lww_ts_us", "_lww_pos", "_lww_file"])
+    rank = rank_struct(bs, ["_lww_ts_us", "_lww_file", "_lww_pos"])
     merged = (
         bs.repartition("_bucket")
         .groupBy("_bucket", "url")

@@ -37,7 +37,7 @@ def test_iceberg_sql_generation():
     assert "MERGE INTO lake.web.pages t" in merge
     assert "ON t.url = s.url" in merge
     # LWW guard: strictly-newer rank only
-    assert "(s._lww_ts_us, s._lww_pos, s._lww_file) > (t._lww_ts_us, t._lww_pos, t._lww_file)" in merge
+    assert "(s._lww_ts_us, s._lww_file, s._lww_pos) > (t._lww_ts_us, t._lww_file, t._lww_pos)" in merge
     assert "WHEN NOT MATCHED THEN INSERT" in merge
 
     assert build_ddl_sql("t", {"kind": "add_column", "col": "x", "dtype": "string"}) == \

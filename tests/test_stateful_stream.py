@@ -24,7 +24,7 @@ def test_stream_lww_filter_matches_oracle(spark, event_log_dir, event_table, tmp
     # emission must strictly advance the rank (cross-batch suppression)
     by_url: dict = {}
     for r in rows:
-        rank = (r["ts_us"], r["log_pos"], r["file_seq"])
+        rank = (r["ts_us"], r["file_seq"], r["log_pos"])
         prev = by_url.get(r["url"])
         by_url[r["url"]] = max(prev, rank) if prev else rank
 
@@ -37,7 +37,7 @@ def test_stream_lww_filter_matches_oracle(spark, event_log_dir, event_table, tmp
     for ev in event_table.to_pylist():
         if ev["op"] not in ("I", "U", "D"):
             continue
-        rank = (_to_us(ev["after"]["warc_ts"]), ev["log_pos"], ev["file_seq"])
+        rank = (_to_us(ev["after"]["warc_ts"]), ev["file_seq"], ev["log_pos"])
         u = ev["after"]["url"]
         if rank > want[u]:
             want[u] = rank
@@ -48,6 +48,6 @@ def test_stream_lww_filter_matches_oracle(spark, event_log_dir, event_table, tmp
     # duplicates never emitted twice: emissions per (url, rank) unique
     seen = set()
     for r in rows:
-        key = (r["url"], r["ts_us"], r["log_pos"], r["file_seq"])
+        key = (r["url"], r["ts_us"], r["file_seq"], r["log_pos"])
         assert key not in seen
         seen.add(key)
