@@ -4,8 +4,8 @@ Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (CDC
 dataflow ops, expressed over the driver's ``events`` table as the stand-in
 change stream) or a web-scale training-data op (over ``documents`` /
 ``embeddings``). Each has a DuckDB ``oracle_sql()`` twin unless the op is
-not SQL-expressible (engine replay, simhash/xxhash64, numpy LSH planes) —
-those get the driver's rows-only check.
+not SQL-expressible (engine replay internals, media codecs) — those get
+the driver's rows-only check.
 
 CDC mapping used throughout (events → change stream):
   key      = user_id              (the reference's PK / our url)
@@ -397,6 +397,60 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(simhash(_t(spark, sf_dir, "documents")), max_hamming=8)
+
+
+def _simhash_cte() -> str:
+    """DuckDB mirror of functions.dedup_text.simhash: md5-derived bits →
+    64 signed votes → sign vector packed into a BIGINT (bit 63 = sign)."""
+    digits = ", ".join(
+        f"position(substring(h,{p + 1},1) IN '0123456789abcdef')-1 AS v{p}"
+        for p in range(16)
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN (v{i // 4} >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    bits = ", ".join(
+        f"CASE WHEN b{i} > 0 THEN 1 ELSE 0 END AS t{i}" for i in range(64)
+    )
+    low63 = " + ".join(f"t{i}::BIGINT * {1 << i}" for i in range(63))
+    packed = (
+        f"({low63}) + CASE WHEN t63 = 1 THEN -9223372036854775807 - 1 "
+        "ELSE 0 END"
+    )
+    return (
+        f"{_TOK_CTE}, hv AS (SELECT doc_id, md5(token) AS h FROM tok), "
+        f"dg AS (SELECT doc_id, {digits} FROM hv), "
+        f"vt AS (SELECT doc_id, {votes} FROM dg GROUP BY doc_id), "
+        f"bt AS (SELECT doc_id, {bits} FROM vt), "
+        f"sh AS (SELECT doc_id, {packed} AS simhash FROM bt)"
+    )
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    from mysql_syncer_spark.functions.dedup_text import _band_widths
+
+    n_bands = min(max_hamming + 1, 64)
+    widths = _band_widths(64, n_bands)
+    starts = [sum(widths[:b]) for b in range(n_bands)]
+    band_selects = []
+    for b in range(n_bands):
+        key = " + ".join(
+            f"t{starts[b] + j}::BIGINT * {1 << j}" for j in range(widths[b])
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band, ({key}) AS key FROM bt")
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+        {_simhash_cte()},
+        bands AS ({bands}),
+        p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming
+        FROM p JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+        WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+    """
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -846,6 +900,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 4) >= 0.2
         """,
+        "doc_simhash": f"{_simhash_cte()} SELECT doc_id, simhash FROM sh",
+        "doc_simhash_near_pairs": _simhash_pairs_sql(max_hamming=8),
         "emb_cosine_topk": """
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[],

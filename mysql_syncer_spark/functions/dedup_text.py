@@ -15,8 +15,9 @@ Scale notes per operator:
 - LSH: signatures → banded keys → self-join per band. Join is on the band
   hash (high cardinality, uniform) → no skew; output is candidate PAIRS,
   verified downstream, so false positives cost compute not correctness.
-- simhash: 64 per-bit signed sums over exploded (doc, xxhash64(token))
-  rows — one shuffle, 64 cheap SUM aggregates, whole-stage codegen.
+- simhash: 64 per-bit signed sums over exploded (doc, md5(token)) rows —
+  one shuffle, 64 cheap SUM aggregates, whole-stage codegen; near-pair
+  banding uses max_hamming+1 bands (pigeonhole-complete at any radius).
 """
 
 from __future__ import annotations
@@ -151,30 +152,46 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
 
 
+def _band_widths(bits: int, n_bands: int) -> list[int]:
+    base, extra = divmod(bits, n_bands)
+    return [base + (1 if b < extra else 0) for b in range(n_bands)]
+
+
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash: per token a 64-bit xxhash; per bit, +1/-1 vote over
-    the doc's token set; the sign vector packs into a long. One shuffle,
-    `bits` SUM aggregates, all codegen. Output: id, simhash (long)."""
-    toks = distinct_tokens(df, id_col, text_col).withColumn(
-        "h", F.xxhash64("token")
+    """64-bit SimHash: per token the first 16 hex digits of md5(token)
+    supply 64 bits (bit i = bit i%4 of hex digit i//4); per bit a +1/-1
+    vote over the doc's token set; the sign vector packs into a long.
+    One shuffle, 64 SUM aggregates, all codegen. md5-derived bits keep the
+    signature engine-portable (DuckDB computes the identical value).
+    Output: id, simhash (long)."""
+    toks = distinct_tokens(df, id_col, text_col).withColumn("h", F.md5("token"))
+    # 16 hex-digit values, computed once, feed all 64 vote expressions
+    digits = toks.select(
+        id_col,
+        *[
+            F.conv(F.substring(F.col("h"), p + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"v{p}")
+            for p in range(16)
+        ],
     )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
+            F.when(
+                F.shiftright(F.col(f"v{i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(bits)
+        for i in range(64)
     ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    agg = digits.groupBy(id_col).agg(*votes)
     packed = None
-    for i in range(bits):
+    for i in range(64):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-        term = F.shiftleft(bit, i)
+        term = F.shiftleft(bit, i)  # i=63 wraps to the sign bit — intended
         packed = term if packed is None else packed.bitwiseXOR(term)
     return agg.select(F.col(id_col), packed.alias("simhash"))
 
@@ -182,33 +199,32 @@ def simhash(
 def simhash_near_pairs(
     sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by Hamming distance ≤ max_hamming, blocked on 16-bit
-    chunks (pigeonhole: ≤3 differing bits over 4 chunks → at least one
-    chunk identical), so the join is equi on a chunk, never cartesian."""
-    chunks = [
-        (F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))).alias(
-            f"c{c}"
+    """Near-dup pairs by Hamming distance ≤ max_hamming, blocked on
+    ``max_hamming + 1`` bit-bands: with ≤ max_hamming differing bits over
+    max_hamming+1 disjoint bands, pigeonhole guarantees at least one band
+    identical — complete for ANY max_hamming, and the join stays equi on a
+    band key, never cartesian. (Fixed from a 4×16-bit chunking that was
+    only complete for max_hamming ≤ 3.)"""
+    n_bands = min(max_hamming + 1, 64)
+    widths = _band_widths(64, n_bands)
+    starts = [sum(widths[:b]) for b in range(n_bands)]
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), starts[b])
+            .bitwiseAND(F.lit((1 << widths[b]) - 1))
+            .alias("key"),
         )
-        for c in range(4)
+        for b in range(n_bands)
     ]
-    keyed = sim.select(id_col, "simhash", *chunks)
-    keyed = keyed.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("key"))
-                    for c in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "simhash", "bk.chunk", "bk.key")
+    keyed = sim.select(
+        id_col, "simhash", F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "simhash", "bk.band", "bk.key")
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
+            (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )

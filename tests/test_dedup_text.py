@@ -73,3 +73,34 @@ def test_simhash_hamming_orders_similarity(spark):
         for r in simhash_near_pairs(simhash(_docs(spark)), max_hamming=16).collect()
     }
     assert pairs[(0, 1)] == 0
+
+
+def test_simhash_near_pairs_complete_vs_brute_force(spark):
+    """Pigeonhole completeness: NO qualifying pair may be dropped by the
+    banding, at any radius (regression for the 4×16-bit chunking that was
+    only complete for hamming ≤ 3). Uses a corpus with word-level edits so
+    pair distances spread across 0..64."""
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    for i in range(40):
+        w = list(words)
+        # mutate i%7 words deterministically → spread of hamming distances
+        for j in range(i % 7):
+            w[(i + j) % len(w)] = f"mut{i}_{j}"
+        rows.append((i, " ".join(w), len(base)))
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    sim = simhash(df)
+    sh = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    for max_h in (3, 8, 17):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_near_pairs(sim, max_hamming=max_h).collect()
+        }
+        want = {
+            (a, b)
+            for a in sh
+            for b in sh
+            if a < b and bin((sh[a] ^ sh[b]) & (2**64 - 1)).count("1") <= max_h
+        }
+        assert got == want, (max_h, want - got, got - want)
