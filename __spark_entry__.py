@@ -106,6 +106,42 @@ _TOK_CTE = (
 )
 
 
+# Deterministic shared event logs: the engine-replay and stateful-stream
+# contract queries replay a seeded generated log; writing it to a stable
+# path lets the DuckDB oracle read the SAME parquet bytes, upgrading both
+# from rows-only to full value-hash checks.
+_SHARED_LOG_ROOT = os.environ.get("MSSS_CONTRACT_DIR", "/dev/shm/msss_contract")
+
+
+def _shared_event_log(tag: str, n_events: int, events_per_file: int) -> str:
+    from mysql_syncer_spark.generator import GenSpec, generate_events, write_event_log
+
+    d = os.path.join(_SHARED_LOG_ROOT, f"{tag}-{n_events}-{events_per_file}")
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    tmp = d + f".tmp-{os.getpid()}"
+    tbl = generate_events(GenSpec(n_events=n_events, events_per_file=events_per_file))
+    write_event_log(tbl, tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, d)  # atomic claim; loser keeps its tmp copy
+        return d
+    except OSError:
+        return d if os.path.exists(marker) else tmp
+
+
+# DuckDB mirror of functions.text extraction (tag strip → fixed entity
+# subset → whitespace collapse → trim), byte-identical on valid UTF-8.
+_EXTRACT_SQL = (
+    r"trim(regexp_replace("
+    r"replace(replace(replace(replace("
+    r"regexp_replace(decode(html), '<[^>]*>', ' ', 'g'),"
+    r" '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+
 def _cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table as a change stream with op codes (S5 dispatch view)."""
     return _t(spark, sf_dir, "events").withColumn("op", _op_col())
@@ -453,6 +489,35 @@ def _simhash_pairs_sql(max_hamming: int) -> str:
     """
 
 
+def _ann_lsh_sql(dim: int = 64, k: int = 10, n_planes: int = 6, seed: int = 42) -> str:
+    """DuckDB mirror of functions.similarity.ann_topk_lsh: the same seeded
+    hyperplanes embedded as literal DOUBLE[] arrays; bucket = sign-bit
+    pattern of plane dots; score only the query's bucket."""
+    from mysql_syncer_spark.functions.similarity import make_hyperplanes
+
+    planes = make_hyperplanes(dim, n_planes, seed)
+    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+
+    def bucket_expr(vec: str) -> str:
+        return " + ".join(
+            f"CASE WHEN list_dot_product({vec}, {lits[j]}) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+            for j in range(n_planes)
+        )
+
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = 0),
+        s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket_expr('v')} AS bucket FROM s),
+        qb AS (SELECT {bucket_expr('qv')} AS qbucket FROM q)
+        SELECT vec_id,
+               round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) AS sim_r
+        FROM b, qb WHERE bucket = qbucket
+        ORDER BY sim_r DESC, vec_id ASC LIMIT {k}
+    """
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     row = (
         _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).head()
@@ -517,10 +582,9 @@ def q_merge_into_base_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_binary_row_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
     """P2-P4: packed binary row-image decode (null bitmap + typed values +
-    packed-int lengths) via Arrow mapInPandas. Deterministic synthetic
-    blobs (seed 42); not SQL-expressible → rows-only check."""
-    import random
-
+    packed-int lengths) via Arrow mapInPandas. The input rows are a pure
+    function of the index, so the DuckDB oracle reconstructs the expected
+    table from range() and the decode path is value-checked end-to-end."""
     from mysql_syncer_spark.sources.decoder import RowCodec, decode_packed_rows
 
     codec = RowCodec(
@@ -531,13 +595,12 @@ def q_binary_row_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lang", "str"),
         )
     )
-    rng = random.Random(42)
     rows = [
         {
             "id": i,
             "ts": 1_700_000_000_000_000 + i * 1000,
             "url": f"https://d{i % 37}.example.com/p/{i}",
-            "lang": rng.choice(["en", "de", None]),
+            "lang": ["en", "de", None][i % 3],
         }
         for i in range(1000)
     ]
@@ -548,17 +611,15 @@ def q_binary_row_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
-    """End-to-end CDC engine: generate a seeded event log, batch-replay it
-    through the exactly-once sink, return the final live state."""
-    from mysql_syncer_spark.generator import GenSpec, generate_events, write_event_log
+    """End-to-end CDC engine: batch-replay the seeded shared event log
+    through the exactly-once sink, return the final live state. The oracle
+    reads the SAME parquet log and mirrors LWW + tombstones + the DDL
+    projection + text extraction in SQL — the flagship is value-checked."""
     from mysql_syncer_spark.plans.replay import replay
     from mysql_syncer_spark.sink.pages_table import PagesTable
 
-    tbl = generate_events(GenSpec(n_events=2_000, events_per_file=1_000))
-    base = tempfile.mkdtemp(prefix="entry_replay_")
-    log_dir = os.path.join(base, "log")
-    write_event_log(tbl, log_dir)
-    table_path = os.path.join(base, "pages")
+    log_dir = _shared_event_log("replay", 2_000, 1_000)
+    table_path = os.path.join(tempfile.mkdtemp(prefix="entry_replay_"), "pages")
     replay(spark, log_dir, table_path, num_buckets=8)
     out = PagesTable(spark, table_path).read()
     return out.select(
@@ -574,19 +635,17 @@ def q_stream_stateful_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
     """Custom stateful streaming operator (applyInPandasWithState): the
     in-stream LWW compactor emits only rank-advancing events across
-    micro-batches. Runs a bounded streaming query on a seeded log; the
-    emission multiset is deterministic. Rows-only (streaming state is not
-    SQL-expressible)."""
+    micro-batches. Runs a bounded streaming query on the seeded shared log;
+    with one file per micro-batch the emission multiset is deterministic,
+    and the oracle mirrors it as a per-file running-max window over the
+    same parquet."""
     import tempfile
 
-    from mysql_syncer_spark.generator import GenSpec, generate_events, write_event_log
     from mysql_syncer_spark.sources.event_log import stream_event_log
     from mysql_syncer_spark.streaming.stateful import streaming_lww_filter
 
-    tbl = generate_events(GenSpec(n_events=1_500, events_per_file=500))
     base = tempfile.mkdtemp(prefix="entry_state_")
-    log_dir = os.path.join(base, "log")
-    write_event_log(tbl, log_dir)
+    log_dir = _shared_event_log("stateful", 1_500, 500)
     out = streaming_lww_filter(stream_event_log(spark, log_dir, 1))
     name = "stateful_lww_out"
     q = (
@@ -809,6 +868,54 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c FULL OUTER JOIN win w ON c.c_custkey = w.custkey
             WHERE w.op IS NULL OR w.op <> 'D'
         """,
+        "cdc_engine_replay_final_state": f"""
+            WITH ev AS (
+                SELECT after.url AS url, after.warc_ts AS warc_ts,
+                       after.html AS html, after.lang AS lang,
+                       after.extra AS extra, op, file_seq, log_pos
+                FROM read_parquet('{_shared_event_log("replay", 2_000, 1_000)}/binlog-*.parquet')
+                WHERE op IN ('I','U','D')),
+            w AS (SELECT *,
+                         row_number() OVER (PARTITION BY url
+                                            ORDER BY warc_ts DESC, file_seq DESC,
+                                                     log_pos DESC) AS rn
+                  FROM ev)
+            SELECT url, epoch_us(warc_ts) AS warc_ts_us,
+                   {_EXTRACT_SQL} AS text,
+                   lang, extra AS extra_v2
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_stream_stateful_lww": f"""
+            WITH ev AS (
+                SELECT after.url AS url, epoch_us(after.warc_ts) AS ts_us,
+                       log_pos, file_seq, op
+                FROM read_parquet('{_shared_event_log("stateful", 1_500, 500)}/binlog-*.parquet')
+                WHERE op IN ('I','U','D')),
+            r AS (SELECT *,
+                         lpad(ts_us::VARCHAR, 20, '0') ||
+                         lpad(file_seq::VARCHAR, 10, '0') ||
+                         lpad(log_pos::VARCHAR, 10, '0') AS rk
+                  FROM ev),
+            fm AS (SELECT url, file_seq, max(rk) AS file_max
+                   FROM r GROUP BY url, file_seq),
+            pm AS (SELECT url, file_seq,
+                          max(file_max) OVER (PARTITION BY url ORDER BY file_seq
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS prev_max
+                   FROM fm)
+            SELECT DISTINCT r.url, r.ts_us, r.log_pos, r.file_seq, r.op
+            FROM r JOIN pm ON r.url = pm.url AND r.file_seq = pm.file_seq
+            WHERE pm.prev_max IS NULL OR r.rk > pm.prev_max
+        """,
+        "cdc_binary_row_decode": """
+            SELECT i AS seq, i AS id,
+                   (1700000000000000 + i * 1000)::BIGINT AS ts,
+                   'https://d' || (i % 37)::VARCHAR || '.example.com/p/'
+                       || i::VARCHAR AS url,
+                   CASE i % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                        ELSE NULL END AS lang
+            FROM range(1000) t(i)
+        """,
         "doc_exact_dedup": f"""
             SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS keeper_id,
                    count(*) AS n_copies
@@ -901,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 4) >= 0.2
         """,
         "doc_simhash": f"{_simhash_cte()} SELECT doc_id, simhash FROM sh",
+        "emb_ann_lsh_topk": _ann_lsh_sql(dim=64, k=10, n_planes=6, seed=42),
         "doc_simhash_near_pairs": _simhash_pairs_sql(max_hamming=8),
         "emb_cosine_topk": """
             SELECT vec_id,
