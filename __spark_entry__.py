@@ -609,6 +609,76 @@ def q_binary_row_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_packed_rows(df, codec, keep_cols=("seq",))
 
 
+def q_mysql_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
+    """P3: MySQL native typed parsers — NEWDECIMAL packing, DATE/TIME/
+    DATETIME packed, YEAR, BIT (reference rs_binlog_row.c:23-280 /
+    :394-427; SURVEY §1.3). Input rows are a pure function of the index;
+    the oracle reconstructs the expected values from range(). Output uses
+    string casts for decimal/date/datetime so the comparison is
+    format-exact instead of pandas-dtype-fragile."""
+    import datetime as dtmod
+    from decimal import Decimal
+
+    from mysql_syncer_spark.sources.decoder import RowCodec, decode_packed_rows
+
+    codec = RowCodec(
+        fields=(
+            ("id", "i32"),
+            ("amount", "decimal(12,4)"),
+            ("d", "date"),
+            ("t", "time"),
+            ("dt", "datetime"),
+            ("y", "year"),
+            ("flags", "bit(12)"),
+        )
+    )
+    base_d = dtmod.date(2000, 1, 1)
+    base_dt = dtmod.datetime(2001, 1, 1)
+    rows = [
+        {
+            "id": i,
+            "amount": None if i % 11 == 0 else Decimal(i * 7919 - 1_000_000).scaleb(-4),
+            "d": None if i % 13 == 0 else base_d + dtmod.timedelta(days=i * 3),
+            "t": (i * 7919) % 86400,
+            "dt": base_dt + dtmod.timedelta(seconds=i * 100_003),
+            "y": 0 if i % 97 == 0 else 1901 + (i % 150),
+            "flags": ((i * 2654435761) % 4096).to_bytes(2, "big"),
+        }
+        for i in range(500)
+    ]
+    blobs = [(i, codec.encode(r)) for i, r in enumerate(rows)]
+    df = spark.createDataFrame(blobs, "seq long, row_image binary")
+    dec = decode_packed_rows(df, codec, keep_cols=("seq",))
+    return dec.select(
+        "seq",
+        "id",
+        F.col("amount").cast("string").alias("amount_s"),
+        F.col("d").cast("string").alias("d_s"),
+        "t",
+        F.col("dt").cast("string").alias("dt_s"),
+        "y",
+        F.hex("flags").alias("flags_hex"),
+    )
+
+
+_MYSQL_TYPED_DECODE_SQL = """
+    SELECT i AS seq, i::INT AS id,
+           CASE WHEN i % 11 = 0 THEN NULL
+                ELSE (((i * 7919 - 1000000)::BIGINT * 0.0001)::DECIMAL(12,4))::VARCHAR
+           END AS amount_s,
+           CASE WHEN i % 13 = 0 THEN NULL
+                ELSE (DATE '2000-01-01' + (i * 3)::INT)::VARCHAR
+           END AS d_s,
+           ((i * 7919) % 86400)::INT AS t,
+           (TIMESTAMP '2001-01-01 00:00:00'
+               + (i * 100003) * INTERVAL 1 SECOND)::VARCHAR AS dt_s,
+           (CASE WHEN i % 97 = 0 THEN 0 ELSE 1901 + (i % 150) END)::SMALLINT AS y,
+           upper(lpad(to_hex((i * 2654435761) % 4096), 4, '0')) AS flags_hex
+    FROM range(500) r(i)
+"""
+
+
 def q_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
     """End-to-end CDC engine: batch-replay the seeded shared event log
@@ -726,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_into_base_join": q_merge_into_base_join,
         "cdc_engine_replay_final_state": q_engine_replay,
         "cdc_binary_row_decode": q_binary_row_decode,
+        "cdc_mysql_typed_decode": q_mysql_typed_decode,
         "cdc_stream_stateful_lww": q_stream_stateful_lww,
         "mm_image_meta": q_mm_image_meta,
         "mm_audio_features": q_mm_audio_features,
@@ -916,6 +987,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS lang
             FROM range(1000) t(i)
         """,
+        "cdc_mysql_typed_decode": _MYSQL_TYPED_DECODE_SQL,
         "doc_exact_dedup": f"""
             SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS keeper_id,
                    count(*) AS n_copies
