@@ -4,6 +4,17 @@ Replays the log one binlog file per batch (batch_id = file_seq →
 deterministic, so a re-run is idempotent end-to-end via the table ledger).
 This is the ``Trigger.AvailableNow``-shaped driver loop; the streaming
 runner (streaming/runner.py) is the same apply under foreachBatch.
+
+Transaction gating (F5): the reference emits checkpoint records only
+OUTSIDE transactions (gate ``!bi->tran`` at
+/root/reference/src/master/rs_parse_binlog.c:428), so a reader never
+observes half a transaction. A binlog rotation can split a transaction
+across two files; since our commit unit is the file-batch, the tail
+transaction that continues into the next file is HELD BACK and applied
+with the next batch. Spanning is detected from parquet footer tx_id
+min/max statistics — O(row groups) driver-side metadata reads, no data
+scan — and the held-back filter is a pushed-down tx_id predicate that
+parquet row-group pruning serves cheaply.
 """
 
 from __future__ import annotations
@@ -57,6 +68,94 @@ def replay_multi(
     return results
 
 
+def _tx_bounds(path: str) -> tuple[int | None, int | None]:
+    """(min, max) of tx_id from parquet footer statistics — metadata only,
+    no data read. NULL tx_ids (DDL events) are excluded by the stats."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = next(
+        (i for i in range(md.num_columns) if md.schema.column(i).name == "tx_id"),
+        None,
+    )
+    if idx is None:
+        return None, None
+    mins: list[int] = []
+    maxs: list[int] = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is not None and st.has_min_max:
+            mins.append(st.min)
+            maxs.append(st.max)
+    if not mins:
+        return None, None
+    return min(mins), max(maxs)
+
+
+def plan_batches(
+    spark: SparkSession, event_dir: str
+) -> list[tuple[int, str | None]]:
+    """One batch per binlog file; discover by the index (filename), like
+    the reference's mysql-bin.index walk (/root/reference/src/master/
+    rs_read_binlog.c:210-252) — no data scan needed to plan batches."""
+    by_name = {}
+    for fn in os.listdir(event_dir):
+        mm = _BINLOG_RE.search(fn)
+        if mm:
+            by_name[int(mm.group(1))] = os.path.join(event_dir, fn)
+    if by_name:
+        return [(seq, by_name[seq]) for seq in sorted(by_name)]
+    # arbitrary layout: fall back to a pruned scan
+    events = read_event_log(spark, event_dir)
+    seqs = [
+        r[0]
+        for r in events.select("file_seq").distinct().orderBy("file_seq").collect()
+    ]
+    return [(seq, None) for seq in seqs]
+
+
+def iter_tx_gated_batches(
+    spark: SparkSession,
+    event_dir: str,
+    from_file_seq: int | None = None,
+):
+    """Yield ``(file_seq, DataFrame)`` batches with transaction gating: a
+    transaction whose tx_id continues into the next file is deferred to
+    that file's batch, so every yielded batch closes on a transaction
+    boundary (F5). Deterministic: the batch for file N is a pure function
+    of the log, so resumed/re-run replays build identical batches."""
+    batches_src = plan_batches(spark, event_dir)
+    deferred = None
+    for i, (seq, path) in enumerate(batches_src):
+        if path is not None:
+            batch = spark.read.parquet(path)
+        else:
+            batch = read_event_log(spark, event_dir).filter(
+                F.col("file_seq") == seq
+            )
+        if deferred is not None:
+            batch = deferred.unionByName(batch, allowMissingColumns=True)
+        deferred = None
+        next_path = (
+            batches_src[i + 1][1] if i + 1 < len(batches_src) else None
+        )
+        if path is not None and next_path is not None:
+            _, cur_max = _tx_bounds(path)
+            nxt_min, _ = _tx_bounds(next_path)
+            if cur_max is not None and nxt_min == cur_max:
+                # the tail transaction straddles the rotation: hold it back
+                deferred = batch.filter(F.col("tx_id") == cur_max)
+                batch = batch.filter(
+                    F.col("tx_id").isNull() | (F.col("tx_id") != cur_max)
+                )
+        if from_file_seq is not None and seq < from_file_seq:
+            continue  # skipped, but the deferral chain stays intact
+        yield seq, batch
+    # a trailing deferred set can only exist if the LAST file spans into a
+    # file that doesn't exist — impossible by construction (no next file →
+    # no hold), so nothing is ever dropped.
+
+
 def replay(
     spark: SparkSession,
     event_dir: str,
@@ -72,32 +171,9 @@ def replay(
     else:
         table = PagesTable.create(spark, table_path, num_buckets=num_buckets)
 
-    # one batch per binlog file; discover by the index (filename), like the
-    # reference's mysql-bin.index walk (/root/reference/src/master/
-    # rs_read_binlog.c:210-252) — no data scan needed to plan batches
-    by_name = {}
-    for fn in os.listdir(event_dir):
-        mm = _BINLOG_RE.search(fn)
-        if mm:
-            by_name[int(mm.group(1))] = os.path.join(event_dir, fn)
-    if by_name:
-        batches_src = [(seq, by_name[seq]) for seq in sorted(by_name)]
-    else:  # arbitrary layout: fall back to a pruned scan
-        events = read_event_log(spark, event_dir)
-        seqs = [
-            r[0]
-            for r in events.select("file_seq").distinct().orderBy("file_seq").collect()
-        ]
-        batches_src = [(seq, None) for seq in seqs]
     total_events = 0
     batches = []
-    for seq, path in batches_src:
-        if from_file_seq is not None and seq < from_file_seq:
-            continue
-        if path is not None:
-            batch = spark.read.parquet(path)
-        else:
-            batch = read_event_log(spark, event_dir).filter(F.col("file_seq") == seq)
+    for seq, batch in iter_tx_gated_batches(spark, event_dir, from_file_seq):
         res = table.apply_batch(batch_id=f"fileseq-{seq}", events=batch, cfg=cfg)
         batches.append(res)
         total_events += res.get("events_in", 0)
