@@ -37,6 +37,13 @@ class TableConfig:
     transform: Callable[[DataFrame], DataFrame] | None = field(
         default=None, compare=False
     )
+    # Skew planner (D2): if any single key holds >= salt_threshold_share of
+    # a batch AND the batch is at least salt_min_rows, the sink switches the
+    # merge to the salted two-phase aggregate (operators/dedup.py 'salted').
+    # The detection piggybacks on the existing keys-only stats pass.
+    salt_threshold_share: float = 0.05
+    salt_min_rows: int = 50_000
+    salt_buckets: int = 16
 
     def __post_init__(self) -> None:
         if self.on_delete not in ("delete", "ignore"):

@@ -23,13 +23,18 @@ def hot_key_candidates(
 ) -> DataFrame:
     """Keys holding ≥ ``min_share`` of the rows, ranked; at most ``top_k``.
     Output: *key_cols, n_rows, share (rounded 6), rank.
-    Plain groupBy-count → partial-agg'd; safe at any scale."""
-    total = df.count()
+    ONE scan of the input: the total comes from summing the (key, count)
+    partials, not a second count(*) pass — both branches consume the same
+    groupBy exchange, which Spark's ReuseExchange serves once. The total is
+    a 1-row broadcast join, bounded at any scale."""
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
     from pyspark.sql import Window
 
     ranked = (
-        counts.withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
+        counts.join(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))
+        .drop("_total")
         .filter(F.col("share") >= min_share)
         .withColumn(
             "rank",

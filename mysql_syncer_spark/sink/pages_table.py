@@ -264,9 +264,23 @@ class PagesTable:
 
         # Light keys-only pass: Catalyst prunes the scan to the key/op
         # columns (no payload bytes move). Bounded by num_buckets rows.
-        stats = wb.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        # The same pass feeds the skew planner (D2): per-bucket row count
+        # PLUS the largest single-key count, so hot-key detection costs no
+        # extra scan of the batch.
+        stats = (
+            wb.groupBy("_bucket", *cfg.key_columns)
+            .agg(F.count(F.lit(1)).alias("_kn"))
+            .groupBy("_bucket")
+            .agg(F.sum("_kn").alias("n"), F.max("_kn").alias("max_key_n"))
+            .collect()
+        )
         touched = sorted(int(r["_bucket"]) for r in stats)
         events_in = int(sum(r["n"] for r in stats))
+        max_key_rows = int(max((r["max_key_n"] for r in stats), default=0))
+        use_salted = (
+            events_in >= cfg.salt_min_rows
+            and max_key_rows >= cfg.salt_threshold_share * events_in
+        )
         current_rows = sum(
             m.lineage.get(str(b), {}).get("rows", 0) for b in touched
         )
@@ -286,12 +300,36 @@ class PagesTable:
             from ..operators.dedup import rank_struct  # local: avoid cycle
 
             rank = rank_struct(unioned, ["_lww_ts_us", "_lww_file", "_lww_pos"])
-            merged = (
-                unioned.repartition("_bucket")
-                .groupBy("_bucket", *cfg.key_columns)
-                .agg(F.max_by(F.struct(*data_cols), rank).alias("_w"))
-                .select("_bucket", "_w.*")
-            )
+            if use_salted:
+                # Skew path (planner-selected): a flooded key would pin its
+                # whole bucket to one reducer under the single-exchange
+                # plan. Phase 1 spreads the bucket over (bucket, salt)
+                # reducers (salt from the rank — deterministic, duplicates
+                # co-bucket); phase 2 restores bucket clustering so the
+                # write stays one-dir-per-bucket. Costs one extra payload
+                # exchange — only taken when the batch is actually hot.
+                salt = F.pmod(F.xxhash64(rank), F.lit(cfg.salt_buckets))
+                partial = (
+                    unioned.withColumn("_salt", salt)
+                    .repartition("_bucket", "_salt")
+                    .groupBy("_bucket", *cfg.key_columns, "_salt")
+                    .agg(F.max_by(F.struct(*data_cols), rank).alias("_w"))
+                    .select("_bucket", "_w.*")
+                )
+                rank2 = rank_struct(partial, ["_lww_ts_us", "_lww_file", "_lww_pos"])
+                merged = (
+                    partial.repartition("_bucket")
+                    .groupBy("_bucket", *cfg.key_columns)
+                    .agg(F.max_by(F.struct(*data_cols), rank2).alias("_w"))
+                    .select("_bucket", "_w.*")
+                )
+            else:
+                merged = (
+                    unioned.repartition("_bucket")
+                    .groupBy("_bucket", *cfg.key_columns)
+                    .agg(F.max_by(F.struct(*data_cols), rank).alias("_w"))
+                    .select("_bucket", "_w.*")
+                )
             if cfg.transform is not None:
                 merged = cfg.transform(merged)
             # uuid suffix: a crashed attempt's orphan dir can never
@@ -328,6 +366,8 @@ class PagesTable:
             "ddl_applied": n_ddl,
             "buckets_touched": len(touched),
             "merge_ms": merge_ms,
+            "salted_merge": bool(use_salted),
+            "max_key_rows": max_key_rows,
         }
         self._commit(m)
         mark("commit")

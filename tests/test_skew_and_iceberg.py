@@ -53,3 +53,64 @@ def test_iceberg_unavailable_is_clear(spark):
     ev = spark.createDataFrame([], "op string, table string, log_pos long")
     with pytest.raises(RuntimeError, match="Iceberg extensions not on the classpath"):
         apply_batch_iceberg(spark, "lake.t", ev, TableConfig(name="web.pages"), {})
+
+
+def test_hot_key_detection_single_scan(spark):
+    """The detector must not scan the input twice: the total comes from the
+    (key,count) partials, so the plan reuses the groupBy exchange instead
+    of a second full scan."""
+    rows = [(f"u{i % 50}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "url string")
+    out = hot_key_candidates(df, ["url"], min_share=0.0)
+    out.collect()  # AQE materializes exchange reuse in the FINAL plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+
+
+def test_sink_switches_to_salted_merge_on_flood(spark, tmp_path):
+    """Zipf-flood batch: the planner must pick the salted two-phase merge
+    and produce the same final state as the plain plan."""
+    import datetime as dt
+
+    from mysql_syncer_spark.config import TableConfig
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+
+    def mkevents():
+        rows = []
+        for i in range(600):
+            url = "https://hot.example.com/" if i % 2 == 0 else f"https://u{i}.example.com/"
+            rows.append(
+                (
+                    i * 97 + 4, 0, 1, "I", "web.pages", i // 7,
+                    None,
+                    (url, dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+                     + dt.timedelta(seconds=i), b"<p>x</p>", None, "en"),
+                    None,
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "log_pos long, file_seq int, server_id int, op string, table string,"
+            "tx_id long, before struct<url:string,warc_ts:timestamp,html:binary,"
+            "text:string,lang:string>, after struct<url:string,warc_ts:timestamp,"
+            "html:binary,text:string,lang:string>, ddl struct<kind:string,"
+            "col:string,new_name:string,dtype:string>",
+        )
+
+    ev = mkevents()
+    hot_cfg = TableConfig(name="web.pages", salt_min_rows=100,
+                          salt_threshold_share=0.05, salt_buckets=4)
+    plain_cfg = TableConfig(name="web.pages", salt_min_rows=10**9)
+
+    t_hot = PagesTable.create(spark, str(tmp_path / "hot"), num_buckets=4)
+    res_hot = t_hot.apply_batch("b0", ev, cfg=hot_cfg)
+    assert res_hot["salted_merge"] is True
+    assert res_hot["max_key_rows"] == 300
+
+    t_plain = PagesTable.create(spark, str(tmp_path / "plain"), num_buckets=4)
+    res_plain = t_plain.apply_batch("b0", ev, cfg=plain_cfg)
+    assert res_plain["salted_merge"] is False
+
+    a = {(r["url"], r["warc_ts"], r["lang"]) for r in t_hot.read().collect()}
+    b = {(r["url"], r["warc_ts"], r["lang"]) for r in t_plain.read().collect()}
+    assert a == b and len(a) == 301  # 300 cold urls + 1 hot winner
