@@ -163,20 +163,47 @@ def replay(
     cfg: TableConfig | None = None,
     num_buckets: int = 64,
     from_file_seq: int | None = None,
+    pipeline_depth: int = 1,
 ) -> dict:
-    """Full (or resumed) replay. Returns summary metrics."""
+    """Full (or resumed) replay. Returns summary metrics.
+
+    ``pipeline_depth > 1`` overlaps delta writes of consecutive batches
+    (merge-on-read makes them independent) while manifests commit strictly
+    in order — the cure for the fixed per-batch serial floor at 10^4+
+    batches. DDL is pre-collected in ONE pushed-predicate scan of the log
+    so each batch still projects with the schema at its log position."""
     cfg = cfg or default_pages_config()
     if PagesTable.exists(table_path):
         table = PagesTable(spark, table_path)
     else:
         table = PagesTable.create(spark, table_path, num_buckets=num_buckets)
 
-    total_events = 0
-    batches = []
-    for seq, batch in iter_tx_gated_batches(spark, event_dir, from_file_seq):
-        res = table.apply_batch(batch_id=f"fileseq-{seq}", events=batch, cfg=cfg)
-        batches.append(res)
-        total_events += res.get("events_in", 0)
+    if pipeline_depth > 1:
+        ddl_rows = (
+            read_event_log(spark, event_dir)
+            .filter(F.col("op") == "DDL")
+            .select("ddl.*", "file_seq", "log_pos")
+            .orderBy("file_seq", "log_pos")
+            .collect()
+        )
+        ddl_index: dict[str, list[dict]] = {}
+        for r in ddl_rows:
+            ddl_index.setdefault(f"fileseq-{r['file_seq']}", []).append(r.asDict())
+        batches = table.apply_batches_pipelined(
+            (
+                (f"fileseq-{seq}", batch)
+                for seq, batch in iter_tx_gated_batches(spark, event_dir, from_file_seq)
+            ),
+            cfg=cfg,
+            depth=pipeline_depth,
+            ddl_index=ddl_index,
+        )
+    else:
+        batches = []
+        for seq, batch in iter_tx_gated_batches(spark, event_dir, from_file_seq):
+            res = table.apply_batch(batch_id=f"fileseq-{seq}", events=batch, cfg=cfg)
+            batches.append(res)
+    total_events = sum(b.get("events_in", 0) for b in batches)
     return {
         "n_batches": len(batches),
         "events_applied": total_events,

@@ -11,11 +11,19 @@ a storage change, not a semantics change:
   data files, then commits ONE manifest JSON via atomic rename. Readers see
   the previous complete snapshot until the rename lands. A crash between
   data write and manifest commit leaves orphan files and no state change.
-- **Copy-on-write MERGE, bucket-pruned**: the table is hash-bucketed on the
-  key (``pmod(xxhash64(url), num_buckets)`` ≈ Iceberg ``bucket(N, url)``
-  partitioning). A batch rewrites ONLY the buckets its keys touch — at
-  10^10 rows the per-batch merge cost is proportional to touched-bucket
-  bytes, not table bytes, and the shuffle is bounded the same way.
+- **Merge-on-read deltas + threshold compaction** (Iceberg MoR parity):
+  each batch writes only its OWN winners as a bucket-partitioned delta —
+  per-batch write cost is O(batch), not O(table). Readers LWW-merge the
+  bucket's delta vintages (exactly Iceberg's merge-on-read); when a
+  bucket accumulates more than ``compact_threshold`` vintages it is
+  compacted back to one file in the same atomic commit, bounding read
+  amplification. Copy-on-write (the round-1 design) re-read and re-wrote
+  every touched bucket per batch — a uniformly-keyed stream touches ALL
+  buckets, so CoW cost per batch was O(table): quadratic total work over
+  a replay. MoR makes replay work O(events + table·vintages/threshold).
+  The table stays hash-bucketed on the key (``pmod(xxhash64(url), N)`` ≈
+  Iceberg ``bucket(N, url)``), so bucket pruning and co-located merges
+  are unchanged.
 - **Exactly-once**: the manifest carries ``committed_batches``; re-applying
   a committed batch_id is a no-op (the reference gets only at-least-once +
   idempotent SET — SURVEY §3.2; this is strictly stronger). The ledger and
@@ -71,16 +79,25 @@ class Manifest:
     schema: list[list[str]]  # [name, spark simpleString dtype]
     column_mapping: dict[str, str]  # wire field -> target column
     renames: list[list[str]]  # accumulated [old, new]
-    buckets: dict[str, str]  # bucket id (str) -> data dir (relative)
+    buckets: dict[str, list]  # bucket id (str) -> delta dirs, oldest first
     committed_batches: list[str]
     lineage: dict[str, dict]  # bucket id -> {batch_id, rows}
     metrics: dict
     # compacted-ledger watermarks: prefix -> max contiguous committed id
     ledger_watermarks: dict = None  # type: ignore[assignment]
+    # MoR knobs: read-side LWW keys + max delta vintages before compaction
+    key_columns: list = None  # type: ignore[assignment]
+    compact_threshold: int = 8
 
     def __post_init__(self) -> None:
         if self.ledger_watermarks is None:
             self.ledger_watermarks = {}
+        if self.key_columns is None:
+            self.key_columns = ["url"]
+        # round-1 manifests stored one dir per bucket
+        self.buckets = {
+            b: (d if isinstance(d, list) else [d]) for b, d in self.buckets.items()
+        }
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=1, sort_keys=True)
@@ -109,6 +126,8 @@ class PagesTable:
         path: str,
         num_buckets: int = 64,
         schema: list[list[str]] | None = None,
+        key_columns: tuple[str, ...] = ("url",),
+        compact_threshold: int = 8,
     ) -> "PagesTable":
         os.makedirs(os.path.join(path, "_versions"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -124,6 +143,8 @@ class PagesTable:
             committed_batches=[],
             lineage={},
             metrics={},
+            key_columns=list(key_columns),
+            compact_threshold=compact_threshold,
         )
         t._commit(m)
         return t
@@ -160,14 +181,41 @@ class PagesTable:
         the manifest schema + hidden columns. Bucket pruning = reading only
         these dirs; Iceberg would do the same from its manifest lists."""
         if bucket_ids is None:
-            dirs = sorted(m.buckets.values())
+            dirs = [d for lst in m.buckets.values() for d in lst]
         else:
-            dirs = [m.buckets[str(b)] for b in bucket_ids if str(b) in m.buckets]
+            dirs = [
+                d
+                for b in bucket_ids
+                if str(b) in m.buckets
+                for d in m.buckets[str(b)]
+            ]
         if not dirs:
             return None
         paths = [os.path.join(self.path, d) for d in sorted(set(dirs))]
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # Explicit manifest-derived schema instead of mergeSchema=true:
+        # schema merging reads EVERY file's footer on the driver, a per-
+        # batch cost that grows with table file count; the manifest already
+        # knows the union schema (current names + pre-rename names still
+        # present in old file vintages). Files missing a column are
+        # NULL-filled by the reader; _align coalesces old→new.
+        df = self.spark.read.schema(self._read_schema(m)).parquet(*paths)
         return self._align(df, m)
+
+    def _read_schema(self, m: Manifest):
+        from pyspark.sql.types import StructType
+
+        cols: dict[str, str] = {n: t for n, t in list(m.schema) + _HIDDEN_DDL}
+        dtype_of = dict(cols)
+        # old rename names may still exist in earlier file vintages; they
+        # carry the same dtype as their current name (walk chains forward)
+        for old, new in reversed(list(m.renames)):
+            if new in dtype_of:
+                dtype_of[old] = dtype_of[new]
+        for old, new in m.renames:
+            if old not in cols and old in dtype_of:
+                cols[old] = dtype_of[old]
+        ddl = ", ".join(f"`{n}` {t}" for n, t in cols.items())
+        return StructType.fromDDL(ddl)
 
     def _align(self, df: DataFrame, m: Manifest) -> DataFrame:
         """Apply accumulated renames (coalesce old→new across file vintages)
@@ -187,8 +235,23 @@ class PagesTable:
         return df.select(*cols)
 
     def state(self) -> DataFrame | None:
-        """Full internal state (incl. tombstones + hidden cols)."""
-        return self._read_buckets(self.manifest(), None)
+        """Full internal state (incl. tombstones + hidden cols).
+
+        Merge-on-read: a key may appear in several delta vintages of its
+        bucket; the reader LWW-merges them (Iceberg MoR semantics). When
+        every bucket holds a single vintage (fresh table or just
+        compacted), the merge is skipped — the scan is served as-is."""
+        m = self.manifest()
+        raw = self._read_buckets(m, None)
+        if raw is None:
+            return None
+        if all(len(v) <= 1 for v in m.buckets.values()):
+            return raw
+        from ..operators.dedup import lww_dedup  # local: avoid cycle
+
+        return lww_dedup(
+            raw, list(m.key_columns), ["_lww_ts_us", "_lww_file", "_lww_pos"]
+        )
 
     def read(self) -> DataFrame:
         """Public snapshot view (live rows, user columns)."""
@@ -255,129 +318,272 @@ class PagesTable:
             self._apply_ddl(m, d)
         mark("ddl_collect")
 
-        # --- batch → state rows --------------------------------------
-        batch_state = batch_to_state(row_events, m.column_mapping, cfg.on_delete)
-        bucket_col = F.pmod(
-            F.xxhash64(*cfg.key_columns), F.lit(m.num_buckets)
-        ).cast("int")
-        wb = batch_state.withColumn("_bucket", bucket_col)
-
-        # Light keys-only pass: Catalyst prunes the scan to the key/op
-        # columns (no payload bytes move). Bounded by num_buckets rows.
-        # The same pass feeds the skew planner (D2): per-bucket row count
-        # PLUS the largest single-key count, so hot-key detection costs no
-        # extra scan of the batch.
-        stats = (
-            wb.groupBy("_bucket", *cfg.key_columns)
-            .agg(F.count(F.lit(1)).alias("_kn"))
-            .groupBy("_bucket")
-            .agg(F.sum("_kn").alias("n"), F.max("_kn").alias("max_key_n"))
-            .collect()
+        delta = self._write_batch_delta(
+            row_events, cfg, dict(m.column_mapping), m.num_buckets, mark
         )
-        touched = sorted(int(r["_bucket"]) for r in stats)
-        events_in = int(sum(r["n"] for r in stats))
-        max_key_rows = int(max((r["max_key_n"] for r in stats), default=0))
-        use_salted = (
-            events_in >= cfg.salt_min_rows
-            and max_key_rows >= cfg.salt_threshold_share * events_in
-        )
-        current_rows = sum(
-            m.lineage.get(str(b), {}).get("rows", 0) for b in touched
-        )
-        mark("key_stats")
-
-        new_dirs: dict[str, str] = {}
-        lineage_rows: dict[str, int] = {}
-        if touched:
-            current = self._read_buckets(m, touched)
-            if current is not None:
-                unioned = current.withColumn("_bucket", bucket_col).unionByName(
-                    wb, allowMissingColumns=True
-                )
-            else:
-                unioned = wb
-            data_cols = [c for c in unioned.columns if c != "_bucket"]
-            from ..operators.dedup import rank_struct  # local: avoid cycle
-
-            rank = rank_struct(unioned, ["_lww_ts_us", "_lww_file", "_lww_pos"])
-            if use_salted:
-                # Skew path (planner-selected): a flooded key would pin its
-                # whole bucket to one reducer under the single-exchange
-                # plan. Phase 1 spreads the bucket over (bucket, salt)
-                # reducers (salt from the rank — deterministic, duplicates
-                # co-bucket); phase 2 restores bucket clustering so the
-                # write stays one-dir-per-bucket. Costs one extra payload
-                # exchange — only taken when the batch is actually hot.
-                salt = F.pmod(F.xxhash64(rank), F.lit(cfg.salt_buckets))
-                partial = (
-                    unioned.withColumn("_salt", salt)
-                    .repartition("_bucket", "_salt")
-                    .groupBy("_bucket", *cfg.key_columns, "_salt")
-                    .agg(F.max_by(F.struct(*data_cols), rank).alias("_w"))
-                    .select("_bucket", "_w.*")
-                )
-                rank2 = rank_struct(partial, ["_lww_ts_us", "_lww_file", "_lww_pos"])
-                merged = (
-                    partial.repartition("_bucket")
-                    .groupBy("_bucket", *cfg.key_columns)
-                    .agg(F.max_by(F.struct(*data_cols), rank2).alias("_w"))
-                    .select("_bucket", "_w.*")
-                )
-            else:
-                merged = (
-                    unioned.repartition("_bucket")
-                    .groupBy("_bucket", *cfg.key_columns)
-                    .agg(F.max_by(F.struct(*data_cols), rank).alias("_w"))
-                    .select("_bucket", "_w.*")
-                )
-            if cfg.transform is not None:
-                merged = cfg.transform(merged)
-            # uuid suffix: a crashed attempt's orphan dir can never
-            # collide with the retry's write (orphans are GC-able).
-            rel = os.path.join(
-                "data", f"v{m.version + 1:08d}-{uuid.uuid4().hex[:8]}"
-            )
-            out = os.path.join(self.path, rel)
-            # already hash-clustered by _bucket → partitionBy writes one
-            # file per bucket with NO extra shuffle
-            merged.write.mode("error").partitionBy("_bucket").parquet(out)
-            mark("merge_write")
-            for entry in os.listdir(out):
-                if entry.startswith("_bucket="):
-                    b = entry.split("=", 1)[1]
-                    new_dirs[b] = os.path.join(rel, entry)
-            lineage_rows = self._footer_rowcounts(out)
-        rows_in_batch = sum(lineage_rows.values())
-
-        # --- atomic commit: data + ledger + schema in one manifest ----
-        m.version += 1
-        for b, d in new_dirs.items():
-            m.buckets[b] = d
-            m.lineage[b] = {"batch_id": bid, "rows": lineage_rows.get(b, 0)}
-        m.committed_batches.append(bid)
-        merge_ms = int((time.time() - t0) * 1000)
-        m.metrics = {
-            "batch_id": bid,
-            "events_in": events_in,
-            "rows_after_dedup": rows_in_batch,  # winner rows written
-            # events folded away by LWW: batch rows + prior state rows
-            # that did not survive as winners
-            "dedup_hits": max(0, events_in + current_rows - rows_in_batch),
-            "ddl_applied": n_ddl,
-            "buckets_touched": len(touched),
-            "merge_ms": merge_ms,
-            "salted_merge": bool(use_salted),
-            "max_key_rows": max_key_rows,
-        }
-        self._commit(m)
-        mark("commit")
+        res = self._commit_batch(m, bid, delta, n_ddl, t0, mark)
         if profile:
             deltas = [
                 f"{label}={t - (marks[i-1][1] if i else 0):.1f}s"
                 for i, (label, t) in enumerate(marks)
             ]
             print(f"[profile batch {bid}] " + " ".join(deltas), flush=True)
+        return res
+
+    def _commit_batch(
+        self,
+        m: Manifest,
+        bid: str,
+        delta: dict,
+        n_ddl: int,
+        t0: float,
+        mark=lambda label: None,
+    ) -> dict:
+        """Register a written delta + run threshold compaction + commit the
+        manifest atomically (ledger + lineage + schema in one rename)."""
+        new_dirs, lineage_rows = delta["new_dirs"], delta["lineage_rows"]
+        rows_in_batch = sum(lineage_rows.values())
+        m.version += 1
+        for b, d in new_dirs.items():
+            m.buckets.setdefault(b, []).append(d)
+            m.lineage[b] = {"batch_id": bid, "rows": lineage_rows.get(b, 0)}
+
+        # --- threshold compaction, same atomic commit ------------------
+        # buckets past compact_threshold vintages fold back to ONE file;
+        # read amplification stays bounded while per-batch write cost
+        # stays O(batch). Rows are already transformed — extraction never
+        # re-runs at compaction.
+        over = [b for b, lst in m.buckets.items() if len(lst) > m.compact_threshold]
+        if over:
+            self._compact_buckets(m, over, bid)
+            mark("compaction")
+        m.committed_batches.append(bid)
+        events_in = delta["events_in"]
+        m.metrics = {
+            "batch_id": bid,
+            "events_in": events_in,
+            "rows_after_dedup": rows_in_batch,  # winner rows written
+            # events folded away by the batch-level LWW reduction
+            "dedup_hits": max(0, events_in - rows_in_batch),
+            "ddl_applied": n_ddl,
+            "buckets_touched": len(new_dirs),
+            "merge_ms": int((time.time() - t0) * 1000),
+            "salted_merge": bool(delta["use_salted"]),
+            "max_key_rows": delta["max_key_rows"],
+            "compacted_buckets": len(over),
+        }
+        self._commit(m)
+        mark("commit")
         return dict(m.metrics, skipped=False)
+
+    def apply_batches_pipelined(
+        self,
+        batches,
+        cfg: TableConfig | None = None,
+        depth: int = 4,
+        ddl_index: dict[str, list[dict]] | None = None,
+    ) -> list[dict]:
+        """Apply an ORDERED stream of ``(batch_id, events)`` batches with up
+        to ``depth`` delta writes in flight (merge-on-read makes batch
+        deltas independent: only the manifest commit must stay ordered,
+        like the reference's pipelined group commit —
+        /root/reference/src/slave/rs_redis_thread.h:10, depth 36).
+
+        DDL ordering: callers pass ``ddl_index`` (batch_id → DDL dicts,
+        pre-collected in ONE pushed-predicate scan of the whole log). Each
+        batch's DDLs mutate the manifest BEFORE its delta is submitted, and
+        the submitted task captures that mapping snapshot — so concurrent
+        batches each project with exactly the schema at their log position.
+        Exactly-once: commits happen strictly in order; a crash leaves only
+        orphan delta dirs (vacuum()-able), never a half commit."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        cfg = cfg or TableConfig(name="web.pages")
+        m = self.manifest()
+        ddl_index = ddl_index or {}
+        results: list[dict] = []
+        inflight: list[tuple[str, int, float, object]] = []
+
+        def commit_head() -> None:
+            bid, n_ddl, t0, fut = inflight.pop(0)
+            results.append(self._commit_batch(m, bid, fut.result(), n_ddl, t0))
+
+        with ThreadPoolExecutor(max_workers=depth) as ex:
+            for batch_id, events in batches:
+                bid = str(batch_id)
+                if self._is_committed(m, bid):
+                    results.append(
+                        {"batch_id": bid, "skipped": True, "reason": "already committed"}
+                    )
+                    continue
+                ddls = ddl_index.get(bid, [])
+                for d in ddls:
+                    self._apply_ddl(m, d)
+                events = op_filter(
+                    oversized_ddl_filter(table_filter(events, [cfg.name]))
+                )
+                mapping = dict(m.column_mapping)
+                t0 = time.time()
+                fut = ex.submit(
+                    self._write_batch_delta, events, cfg, mapping, m.num_buckets
+                )
+                inflight.append((bid, len(ddls), t0, fut))
+                while len(inflight) >= depth:
+                    commit_head()
+            while inflight:
+                commit_head()
+        return results
+
+    def _bucket_merge(
+        self,
+        src: DataFrame,
+        key_columns: list[str],
+        salted: bool = False,
+        salt_buckets: int = 16,
+    ) -> DataFrame:
+        """One winner per (bucket, key): repartition by bucket so the
+        aggregate AND the partitionBy write share one exchange. The salted
+        variant (planner-selected for flooded keys) spreads a hot bucket
+        over (bucket, salt) reducers first — one extra payload exchange,
+        only paid when the batch is actually hot."""
+        from ..operators.dedup import rank_struct  # local: avoid cycle
+
+        data_cols = [c for c in src.columns if c != "_bucket"]
+        rank = rank_struct(src, ["_lww_ts_us", "_lww_file", "_lww_pos"])
+        if salted:
+            salt = F.pmod(F.xxhash64(rank), F.lit(salt_buckets))
+            partial = (
+                src.withColumn("_salt", salt)
+                .repartition("_bucket", "_salt")
+                .groupBy("_bucket", *key_columns, "_salt")
+                .agg(F.max_by(F.struct(*data_cols), rank).alias("_w"))
+                .select("_bucket", "_w.*")
+            )
+            rank2 = rank_struct(partial, ["_lww_ts_us", "_lww_file", "_lww_pos"])
+            return (
+                partial.repartition("_bucket")
+                .groupBy("_bucket", *key_columns)
+                .agg(F.max_by(F.struct(*data_cols), rank2).alias("_w"))
+                .select("_bucket", "_w.*")
+            )
+        return (
+            src.repartition("_bucket")
+            .groupBy("_bucket", *key_columns)
+            .agg(F.max_by(F.struct(*data_cols), rank).alias("_w"))
+            .select("_bucket", "_w.*")
+        )
+
+    def _write_batch_delta(
+        self,
+        row_events: DataFrame,
+        cfg: TableConfig,
+        column_mapping: dict[str, str],
+        num_buckets: int,
+        mark=lambda label: None,
+    ) -> dict:
+        """Build and write ONE batch's delta (merge-on-read unit of work).
+        Pure with respect to the manifest — takes a mapping snapshot, so
+        several batches can run concurrently (apply_batches_pipelined);
+        the caller serializes manifest mutation + commit."""
+        batch_state = batch_to_state(row_events, column_mapping, cfg.on_delete)
+        bucket_col = F.pmod(
+            F.xxhash64(*cfg.key_columns), F.lit(num_buckets)
+        ).cast("int")
+        wb = batch_state.withColumn("_bucket", bucket_col)
+
+        # Light keys-only pass: Catalyst prunes the scan to the key/op
+        # columns (no payload bytes move); per-bucket count + HLL distinct
+        # keys partial-combine map-side, so the shuffle carries only
+        # num_buckets rows. The same pass feeds the skew planner (D2):
+        # (rows - distinct_keys) in one bucket upper-bounds the duplicate
+        # mass a single flooded key can contribute there — an exact per-key
+        # max would need a full keys shuffle, measurably slowing every
+        # batch to detect a rare condition.
+        stats = (
+            wb.groupBy("_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct(F.xxhash64(*cfg.key_columns)).alias("nk"),
+            )
+            .collect()
+        )
+        events_in = int(sum(r["n"] for r in stats))
+        max_key_rows = int(
+            max((r["n"] - min(r["nk"], r["n"]) + 1 for r in stats), default=0)
+        )
+        use_salted = (
+            events_in >= cfg.salt_min_rows
+            and max_key_rows >= cfg.salt_threshold_share * events_in
+        )
+        mark("key_stats")
+
+        new_dirs: dict[str, str] = {}
+        lineage_rows: dict[str, int] = {}
+        if events_in:
+            merged = self._bucket_merge(
+                wb, list(cfg.key_columns), use_salted, cfg.salt_buckets
+            )
+            if cfg.transform is not None:
+                merged = cfg.transform(merged)
+            new_dirs, lineage_rows = self._write_snapshot(merged)
+            mark("merge_write")
+        return {
+            "new_dirs": new_dirs,
+            "lineage_rows": lineage_rows,
+            "events_in": events_in,
+            "max_key_rows": max_key_rows,
+            "use_salted": use_salted,
+        }
+
+    def _write_snapshot(
+        self, df: DataFrame
+    ) -> tuple[dict[str, str], dict[str, int]]:
+        # uuid suffix: a crashed attempt's orphan dir can never collide
+        # with the retry's write (orphans are GC-able via vacuum()).
+        rel = os.path.join("data", f"d-{uuid.uuid4().hex[:12]}")
+        out = os.path.join(self.path, rel)
+        # already hash-clustered by _bucket → partitionBy writes one file
+        # per bucket with NO extra shuffle
+        df.write.mode("error").partitionBy("_bucket").parquet(out)
+        dirs = {
+            e.split("=", 1)[1]: os.path.join(rel, e)
+            for e in os.listdir(out)
+            if e.startswith("_bucket=")
+        }
+        return dirs, self._footer_rowcounts(out)
+
+    def _compact_buckets(self, m: Manifest, over: list[str], bid: str) -> None:
+        """Fold the given buckets' delta vintages into one file each.
+        Mutates ``m`` in memory; the caller commits atomically."""
+        cur = self._read_buckets(m, [int(b) for b in over])
+        bucket_col = F.pmod(
+            F.xxhash64(*m.key_columns), F.lit(m.num_buckets)
+        ).cast("int")
+        compacted = self._bucket_merge(
+            cur.withColumn("_bucket", bucket_col), list(m.key_columns)
+        )
+        cdirs, crows = self._write_snapshot(compacted)
+        for b, d in cdirs.items():
+            m.buckets[b] = [d]
+            m.lineage[b] = {"batch_id": bid, "rows": crows.get(b, 0)}
+
+    def compact(self, buckets: list[int] | None = None) -> dict:
+        """Maintenance compaction (Iceberg ``rewrite_data_files`` parity):
+        fold delta vintages into one file per bucket in a new atomic
+        snapshot. Old deltas become orphans for ``vacuum()``. Default:
+        every bucket with more than one vintage."""
+        m = self.manifest()
+        target = (
+            [b for b, lst in m.buckets.items() if len(lst) > 1]
+            if buckets is None
+            else [str(b) for b in buckets if str(b) in m.buckets]
+        )
+        if not target:
+            return {"compacted_buckets": 0}
+        m.version += 1
+        self._compact_buckets(m, target, f"compact-v{m.version}")
+        self._commit(m)
+        return {"compacted_buckets": len(target)}
 
     def _apply_ddl(self, m: Manifest, d: dict) -> None:
         """ADD/RENAME COLUMN, idempotent under redelivery."""
@@ -436,7 +642,9 @@ class PagesTable:
         import shutil
 
         m = self.manifest()
-        referenced = {d.split(os.sep)[1] for d in m.buckets.values()}
+        referenced = {
+            d.split(os.sep)[1] for lst in m.buckets.values() for d in lst
+        }
         data_root = os.path.join(self.path, "data")
         removed, freed = [], 0
         for entry in os.listdir(data_root):

@@ -15,6 +15,8 @@ def test_vacuum_removes_old_versions_keeps_state(
     replay(spark, event_log_dir, tmp_table_path, num_buckets=8)
     t = PagesTable(spark, tmp_table_path)
     data_root = os.path.join(tmp_table_path, "data")
+    # MoR: deltas stay referenced until compaction folds them
+    assert t.compact()["compacted_buckets"] > 0
     n_dirs_before = len(os.listdir(data_root))
     res = t.vacuum()
     assert res["freed_bytes"] > 0

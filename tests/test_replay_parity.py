@@ -121,3 +121,22 @@ def test_metrics_and_lineage(spark, replayed):
     for b, dirpath in m.buckets.items():
         assert m.lineage[b]["rows"] >= 0
         assert m.lineage[b]["batch_id"]
+
+
+def test_pipelined_replay_matches_oracle_and_is_idempotent(
+    spark, event_log_dir, event_table, tmp_table_path
+):
+    """pipeline_depth>1 overlaps delta writes; commits stay ordered. Final
+    state, idempotent re-run, and resume semantics must be identical to the
+    serial path."""
+    res = replay(spark, event_log_dir, tmp_table_path, num_buckets=8,
+                 pipeline_depth=4)
+    assert res["n_batches"] >= 2
+    oracle, cols, _ = sequential_replay(event_table)
+    t = PagesTable(spark, tmp_table_path)
+    assert t.read().columns == cols
+    assert_state_equal(t.read().collect(), oracle)
+    res2 = replay(spark, event_log_dir, tmp_table_path, num_buckets=8,
+                  pipeline_depth=4)
+    assert all(b.get("skipped") for b in res2["batches"])
+    assert_state_equal(t.read().collect(), oracle)

@@ -105,7 +105,8 @@ def test_sink_switches_to_salted_merge_on_flood(spark, tmp_path):
     t_hot = PagesTable.create(spark, str(tmp_path / "hot"), num_buckets=4)
     res_hot = t_hot.apply_batch("b0", ev, cfg=hot_cfg)
     assert res_hot["salted_merge"] is True
-    assert res_hot["max_key_rows"] == 300
+    # max_key_rows is the (rows - distinct) flood-mass ESTIMATE (HLL ±2%)
+    assert 250 <= res_hot["max_key_rows"] <= 330
 
     t_plain = PagesTable.create(spark, str(tmp_path / "plain"), num_buckets=4)
     res_plain = t_plain.apply_batch("b0", ev, cfg=plain_cfg)

@@ -73,8 +73,13 @@ def test_bucket_pruning_leaves_untouched_buckets_alone(spark, tmp_table_path):
     for b in after:
         if b not in changed:
             assert after[b] == before[b]
-    # and the untouched files still exist on disk untouched
-    assert os.path.isdir(os.path.join(tmp_table_path, before[[b for b in before if b not in changed][0]]))
+    # and the untouched files still exist on disk untouched (buckets map
+    # to LISTS of delta dirs under merge-on-read)
+    untouched = [b for b in before if b not in changed][0]
+    for d in before[untouched]:
+        assert os.path.isdir(os.path.join(tmp_table_path, d))
+    # MoR invariant: the touched bucket APPENDED a delta, not rewrote
+    assert after[changed[0]][:-1] == before.get(changed[0], [])
 
 
 def test_null_key_rows_dead_lettered(spark, tmp_table_path):

@@ -25,7 +25,9 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_replay(cores: int, event_dir: str, warm_dir: str, out_path: str) -> None:
+def run_replay(
+    cores: int, event_dir: str, warm_dir: str, out_path: str, depth: int = 1
+) -> None:
     from mysql_syncer_spark.plans.replay import replay
     from mysql_syncer_spark.session import get_spark
 
@@ -41,9 +43,21 @@ def run_replay(cores: int, event_dir: str, warm_dir: str, out_path: str) -> None
             shuffle_partitions=32,
             extra_conf={"spark.local.dir": os.path.join(shm, "sparktmp")},
         )
-        replay(spark, warm_dir, os.path.join(shm, "warm", "pages"), num_buckets=64)
+        replay(
+            spark,
+            warm_dir,
+            os.path.join(shm, "warm", "pages"),
+            num_buckets=64,
+            pipeline_depth=depth,
+        )
         t0 = time.time()
-        res = replay(spark, local_log, os.path.join(shm, "pages"), num_buckets=64)
+        res = replay(
+            spark,
+            local_log,
+            os.path.join(shm, "pages"),
+            num_buckets=64,
+            pipeline_depth=depth,
+        )
         walls = [time.time() - t0]
         wall = min(walls)
         events = res["events_applied"]
@@ -59,6 +73,7 @@ def run_replay(cores: int, event_dir: str, warm_dir: str, out_path: str) -> None
                 "events": events,
                 "events_per_sec": round(events / wall, 1),
                 "n_batches": res["n_batches"],
+                "pipeline_depth": depth,
             },
             f,
         )
@@ -92,7 +107,14 @@ def run_sha2(cores: int, n_rows: int, out_path: str) -> None:
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "replay":
-        run_replay(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
+        # replay <cores> <event_dir> <warm_dir> [depth] <out_json>
+        if len(sys.argv) > 6:
+            run_replay(
+                int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[6],
+                depth=int(sys.argv[5]),
+            )
+        else:
+            run_replay(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
     elif mode == "sha2":
         run_sha2(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
     else:
