@@ -741,7 +741,10 @@ def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = [(i, make_image_bytes(i, w=32 + (i % 4) * 8, h=24, c=3)) for i in range(200)]
     df = spark.createDataFrame(rows, "media_id long, media binary")
-    return decode_image_meta(df)
+    # width/height/channels are pure functions of i, so the REAL-PNG IHDR
+    # decode is oracle-checkable; n_bytes (compressed size) is not
+    # SQL-reconstructable and is covered by pytest instead
+    return decode_image_meta(df).select("media_id", "width", "height", "channels")
 
 
 def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,6 +991,17 @@ def oracle_sql() -> dict[str, str]:
             FROM range(1000) t(i)
         """,
         "cdc_mysql_typed_decode": _MYSQL_TYPED_DECODE_SQL,
+        "mm_image_meta": """
+            SELECT i AS media_id, (32 + (i % 4) * 8)::INT AS width,
+                   24::INT AS height, 3::INT AS channels
+            FROM range(200) t(i)
+        """,
+        "mm_video_frame_sample": """
+            SELECT m.i AS media_id, f.idx::INT AS frame_idx,
+                   f.idx / 8.0 AS ts_s, (16 * 12)::INT AS frame_bytes
+            FROM range(50) m(i),
+                 (VALUES (0), (4), (8), (12), (16), (20)) f(idx)
+        """,
         "doc_exact_dedup": f"""
             SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS keeper_id,
                    count(*) AS n_copies

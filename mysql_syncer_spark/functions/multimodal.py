@@ -2,14 +2,19 @@
 metadata, with decode / feature-extract / resize / frame-sample operators.
 
 The Spark-side plumbing is REAL — schemas, Arrow-batched ``mapInPandas``
-operators, partitioning, explode semantics. The codecs are deliberately
-NOT real (this container has no PIL/ffmpeg/soundfile): synthetic media
-carries a tiny self-describing header that the operators parse, and real
-decoders are gated behind import-tries that currently raise. Swapping in a
-real codec changes ONE function per modality, not the dataflow.
+operators, partitioning, explode semantics.
 
-Wire formats (synthetic, deterministic):
-  image: b"IMG1" + u16 w + u16 h + u8 channels + w*h*c payload bytes
+Codecs (round 2): **images are REAL PNG** — encoded and decoded by the
+pure numpy+zlib codec in ``png_codec.py`` (IHDR metadata probe without
+pixel inflate; full decode with all five scanline filters). The legacy
+synthetic ``IMG1`` raster remains accepted for old inputs. Audio/video
+stay synthetic-framed (no ffmpeg/soundfile in this container): PCM/frame
+math is real numpy, the container format is a self-describing header, and
+a real demuxer swaps in at ONE function per modality.
+
+Wire formats:
+  image: PNG (RFC 2083 subset: 8-bit gray/RGB/RGBA), or legacy
+         b"IMG1" + u16 w + u16 h + u8 channels + w*h*c payload bytes
   audio: b"PCM1" + u32 sample_rate + s16le samples
   video: b"VID1" + u16 w + u16 h + u8 fps + u16 n_frames + frames
          (each frame = w*h bytes, grayscale)
@@ -40,9 +45,12 @@ except ImportError:
 
 
 def make_image_bytes(media_id: int, w: int = 32, h: int = 24, c: int = 3) -> bytes:
+    """Deterministic REAL PNG (numpy+zlib codec, png_codec.py)."""
+    from .png_codec import encode_png
+
     rng = np.random.default_rng(media_id)
-    payload = rng.integers(0, 256, w * h * c, dtype=np.uint8)
-    return b"IMG1" + struct.pack("<HHB", w, h, c) + payload.tobytes()
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    return encode_png(img)
 
 
 def make_audio_bytes(media_id: int, sr: int = 16000, seconds: float = 0.25) -> bytes:
@@ -76,12 +84,28 @@ IMAGE_META = T.StructType(
 
 
 def _decode_image_header(b: bytes) -> tuple[int, int, int]:
-    if b[:4] != b"IMG1":
-        if HAVE_PIL:  # pragma: no cover — real path when PIL present
-            raise NotImplementedError("real image decode: wire PIL here")
-        raise ValueError("unknown image format (no codec in container)")
-    w, h, c = struct.unpack_from("<HHB", b, 4)
-    return w, h, c
+    from .png_codec import PNG_SIG, png_meta
+
+    if bytes(b[:8]) == PNG_SIG:
+        w, h, c, _ = png_meta(b)  # IHDR probe — no pixel inflate
+        return w, h, c
+    if b[:4] == b"IMG1":  # legacy synthetic raster
+        w, h, c = struct.unpack_from("<HHB", b, 4)
+        return w, h, c
+    if HAVE_PIL:  # pragma: no cover — real path for other formats
+        raise NotImplementedError("non-PNG image decode: wire PIL here")
+    raise ValueError("unknown image format (PNG and IMG1 supported)")
+
+
+def _decode_image_pixels(b: bytes) -> np.ndarray:
+    from .png_codec import PNG_SIG, decode_png
+
+    if bytes(b[:8]) == PNG_SIG:
+        return decode_png(b)
+    if b[:4] == b"IMG1":
+        w, h, c = struct.unpack_from("<HHB", b, 4)
+        return np.frombuffer(b, np.uint8, w * h * c, offset=9).reshape(h, w, c)
+    raise ValueError("unknown image format (PNG and IMG1 supported)")
 
 
 def decode_image_meta(df: DataFrame, bytes_col: str = "media", id_col: str = "media_id") -> DataFrame:
@@ -119,17 +143,17 @@ def resize_image(
     )
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png_codec import encode_png
+
         for pdf in batches:
             out_rows = []
             for b in pdf[bytes_col]:
-                w, h, c = _decode_image_header(b)
-                img = np.frombuffer(b, np.uint8, w * h * c, offset=9).reshape(h, w, c)
+                img = _decode_image_pixels(b)
+                h, w = img.shape[:2]
                 ys = (np.arange(out_h) * h // out_h)
                 xs = (np.arange(out_w) * w // out_w)
                 small = img[ys][:, xs]
-                out_rows.append(
-                    b"IMG1" + struct.pack("<HHB", out_w, out_h, c) + small.tobytes()
-                )
+                out_rows.append(encode_png(small))
             out = pd.DataFrame({"media": out_rows})
             out.insert(0, id_col, pdf[id_col].values)
             out["width"] = out_w

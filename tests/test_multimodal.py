@@ -1,8 +1,8 @@
-"""Multimodal plumbing: schemas, batch shapes, explode semantics, and the
-deterministic fake codecs (real decoders are absent in this container)."""
+"""Multimodal plumbing: schemas, batch shapes, explode semantics. Images
+are REAL PNG since round 2 (pure numpy+zlib codec); audio/video stay
+deterministic synthetic frames (no ffmpeg/soundfile in this container)."""
 
 import numpy as np
-import struct
 
 from mysql_syncer_spark.functions.multimodal import (
     audio_features,
@@ -25,17 +25,23 @@ def test_image_meta(spark):
     out = {r["media_id"]: r for r in decode_image_meta(df).collect()}
     assert len(out) == 20
     assert out[0]["width"] == 32 and out[0]["height"] == 24 and out[0]["channels"] == 3
-    assert out[0]["n_bytes"] == 9 + 32 * 24 * 3
+    # real PNG: n_bytes is the compressed size, and it matches the input
+    assert out[0]["n_bytes"] == len(make_image_bytes(0, w=32, h=24, c=3))
 
 
 def test_image_resize_roundtrip(spark):
     df = _media_df(spark, make_image_bytes, n=5, w=32, h=24, c=3)
+    from mysql_syncer_spark.functions.png_codec import decode_png, png_meta
+
     out = resize_image(df, 8, 6).collect()
     for r in out:
         assert r["width"] == 8 and r["height"] == 6
-        w, h, c = struct.unpack_from("<HHB", bytes(r["media"]), 4)
-        assert (w, h, c) == (8, 6, 3)
-        assert len(r["media"]) == 9 + 8 * 6 * 3
+        w, h, c, depth = png_meta(bytes(r["media"]))
+        assert (w, h, c, depth) == (8, 6, 3, 8)
+        # resized PNG decodes to exactly the nearest-neighbor subsample
+        src = decode_png(make_image_bytes(r["media_id"], w=32, h=24, c=3))
+        ys, xs = (np.arange(6) * 24 // 6), (np.arange(8) * 32 // 8)
+        assert np.array_equal(decode_png(bytes(r["media"])), src[ys][:, xs])
     # determinism: same input -> same resized bytes
     again = resize_image(df, 8, 6).collect()
     assert {r["media_id"]: bytes(r["media"]) for r in out} == {
