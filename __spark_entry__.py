@@ -427,6 +427,17 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production near-dup pipeline: LSH candidates → exact Jaccard verify
+    (content-based blocking — finds near-dups of different lengths, unlike
+    the exact-n_chars block of doc_ngram_jaccard_pairs)."""
+    from mysql_syncer_spark.functions.dedup_text import verified_near_duplicates
+
+    return verified_near_duplicates(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, threshold=0.5
+    )
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"))
 
@@ -489,21 +500,29 @@ def _simhash_pairs_sql(max_hamming: int) -> str:
     """
 
 
+def _lsh_plane_literals(dim: int, n_planes: int, seed: int) -> list[str]:
+    from mysql_syncer_spark.functions.similarity import make_hyperplanes
+
+    planes = make_hyperplanes(dim, n_planes, seed)
+    return ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+
+
+def _lsh_bucket_sql(vec: str, lits: list[str]) -> str:
+    return " + ".join(
+        f"CASE WHEN list_dot_product({vec}, {lits[j]}) > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(len(lits))
+    )
+
+
 def _ann_lsh_sql(dim: int = 64, k: int = 10, n_planes: int = 6, seed: int = 42) -> str:
     """DuckDB mirror of functions.similarity.ann_topk_lsh: the same seeded
     hyperplanes embedded as literal DOUBLE[] arrays; bucket = sign-bit
     pattern of plane dots; score only the query's bucket."""
-    from mysql_syncer_spark.functions.similarity import make_hyperplanes
-
-    planes = make_hyperplanes(dim, n_planes, seed)
-    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+    lits = _lsh_plane_literals(dim, n_planes, seed)
 
     def bucket_expr(vec: str) -> str:
-        return " + ".join(
-            f"CASE WHEN list_dot_product({vec}, {lits[j]}) > 0 "
-            f"THEN {1 << j} ELSE 0 END"
-            for j in range(n_planes)
-        )
+        return _lsh_bucket_sql(vec, lits)
 
     return f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
@@ -515,6 +534,20 @@ def _ann_lsh_sql(dim: int = 64, k: int = 10, n_planes: int = 6, seed: int = 42) 
                round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) AS sim_r
         FROM b, qb WHERE bucket = qbucket
         ORDER BY sim_r DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _lsh_block_pairs_sql(
+    dim: int = 64, n_planes: int = 6, seed: int = 42, min_sim: float = 0.15
+) -> str:
+    lits = _lsh_plane_literals(dim, n_planes, seed)
+    return f"""
+        WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_lsh_bucket_sql('v', lits)} AS bucket FROM s)
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               round(list_cosine_similarity(x.v, y.v), 4) AS sim_r
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE round(list_cosine_similarity(x.v, y.v), 4) >= {min_sim}
     """
 
 
@@ -538,6 +571,17 @@ def q_emb_block_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return ann_topk_lsh(e, _query_vec(spark, sf_dir), dim=64, k=10, n_planes=6)
+
+
+def q_emb_lsh_block_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by LSH bucket — the scale path for
+    pairwise cosine (emb_block_cosine_pairs uses a low-cardinality label
+    block and is O(n²/block); LSH buckets shrink blocks with data size)."""
+    from mysql_syncer_spark.functions.similarity import with_lsh_bucket
+
+    e = _t(spark, sf_dir, "embeddings")
+    bucketed = with_lsh_bucket(e, dim=64, n_planes=6, seed=42)
+    return pairwise_cosine_within_block(bucketed, "bucket", min_sim=0.15)
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,6 +774,50 @@ def q_stream_stateful_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"select url, ts_us, log_pos, file_seq, op from {name}")
 
 
+def q_server_id_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: reject control events from foreign server ids (reference
+    /root/reference/src/master/rs_parse_binlog.c:468-491). NULL server_id
+    (locally generated records) passes the guard. Deterministic input —
+    the oracle reconstructs from range()."""
+    from mysql_syncer_spark.operators.filters import server_id_guard
+
+    df = spark.range(1000).select(
+        F.col("id").alias("event_seq"),
+        F.when(F.col("id") % 7 == 0, F.lit(None))
+        .otherwise(1 + F.col("id") % 3)
+        .cast("int")
+        .alias("server_id"),
+    )
+    kept = server_id_guard(df, expected_server_id=1)
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.min("event_seq").alias("first_kept"),
+        F.max("event_seq").alias("last_kept"),
+    )
+
+
+def q_txn_gated_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: transaction-atomic batch assignment — a transaction straddling a
+    binlog rotation is applied WHOLE in the batch of its last file (the
+    engine defers the head). Census per tx over the shared seeded log; the
+    oracle's invariant: applied_in_batch == max(file_seq) of the tx."""
+    from mysql_syncer_spark.plans.replay import iter_tx_gated_batches
+
+    log_dir = _shared_event_log("stateful", 1_500, 500)
+    parts = []
+    for seq, batch in iter_tx_gated_batches(spark, log_dir):
+        parts.append(
+            batch.filter(F.col("tx_id").isNotNull())
+            .groupBy("tx_id")
+            .agg(F.count("*").alias("n_events"))
+            .withColumn("applied_in_batch", F.lit(seq))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
     """Multimodal: binary image column → typed metadata (mapInPandas;
@@ -800,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_replay_final_state": q_engine_replay,
         "cdc_binary_row_decode": q_binary_row_decode,
         "cdc_mysql_typed_decode": q_mysql_typed_decode,
+        "cdc_server_id_guard": q_server_id_guard,
+        "cdc_txn_gated_batches": q_txn_gated_batches,
         "cdc_stream_stateful_lww": q_stream_stateful_lww,
         "mm_image_meta": q_mm_image_meta,
         "mm_audio_features": q_mm_audio_features,
@@ -814,11 +904,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_signatures": q_doc_minhash,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard,
+        "doc_lsh_jaccard_verified": q_doc_lsh_jaccard_verified,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_near_pairs": q_doc_simhash_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_block_cosine_pairs": q_emb_block_cosine,
         "emb_ann_lsh_topk": q_emb_ann_lsh,
+        "emb_lsh_block_cosine_pairs": q_emb_lsh_block_cosine,
         "emb_ivf_topk": q_emb_ivf_topk,
     }
 
@@ -991,6 +1083,17 @@ def oracle_sql() -> dict[str, str]:
             FROM range(1000) t(i)
         """,
         "cdc_mysql_typed_decode": _MYSQL_TYPED_DECODE_SQL,
+        "cdc_server_id_guard": """
+            SELECT count(*) AS n_kept, min(i) AS first_kept, max(i) AS last_kept
+            FROM range(1000) t(i)
+            WHERE i % 7 = 0 OR 1 + i % 3 = 1
+        """,
+        "cdc_txn_gated_batches": f"""
+            SELECT tx_id, count(*) AS n_events,
+                   max(file_seq)::INT AS applied_in_batch
+            FROM read_parquet('{_shared_event_log("stateful", 1_500, 500)}/binlog-*.parquet')
+            WHERE tx_id IS NOT NULL GROUP BY tx_id
+        """,
         "mm_image_meta": """
             SELECT i AS media_id, (32 + (i % 4) * 8)::INT AS width,
                    24::INT AS height, 3::INT AS channels
@@ -1093,6 +1196,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 4) >= 0.2
         """,
+        "doc_lsh_jaccard_verified": f"""
+            {_TOK_CTE}, {sig_sql},
+            banded AS (
+                SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS key FROM sig
+                UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+                UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+                UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+            p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+            inter AS (
+                SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+                FROM p
+                JOIN tok a ON p.doc_a = a.doc_id
+                JOIN tok b ON p.doc_b = b.doc_id AND a.token = b.token
+                GROUP BY p.doc_a, p.doc_b)
+            SELECT doc_a, doc_b, n_inter, sa.n_tok AS n_a, sb.n_tok AS n_b,
+                   round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 4) >= 0.5
+        """,
+        "emb_lsh_block_cosine_pairs": _lsh_block_pairs_sql(
+            dim=64, n_planes=6, seed=42, min_sim=0.15
+        ),
         "doc_simhash": f"{_simhash_cte()} SELECT doc_id, simhash FROM sh",
         "emb_ann_lsh_topk": _ann_lsh_sql(dim=64, k=10, n_planes=6, seed=42),
         "doc_simhash_near_pairs": _simhash_pairs_sql(max_hamming=8),

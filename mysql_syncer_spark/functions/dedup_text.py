@@ -157,6 +157,50 @@ def _band_widths(bits: int, n_bands: int) -> list[int]:
     return [base + (1 if b < extra else 0) for b in range(n_bands)]
 
 
+def verified_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production near-dup pipeline: MinHash-LSH candidate generation
+    (banded equi-join — never all-pairs) followed by EXACT token-set
+    Jaccard verification of only the candidates. This is the scale path
+    the plain ``ngram_jaccard_pairs`` blocking (exact length) cannot be:
+    candidates come from content similarity, so near-dups of different
+    lengths are found, and the verify join touches candidate pairs only.
+    Output: doc_a, doc_b, n_inter, n_a, n_b, jaccard (rounded 4)."""
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    pairs = lsh_candidate_pairs(sigs, id_col, k, bands)
+    toks = distinct_tokens(df, id_col, text_col)
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        pairs.join(a, pairs.doc_a == F.col(f"a.{id_col}"))
+        .join(
+            b,
+            (pairs.doc_b == F.col(f"b.{id_col}"))
+            & (F.col("a.token") == F.col("b.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "doc_a", "n_tok": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_tok": "n_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -115,3 +115,43 @@ def test_sink_switches_to_salted_merge_on_flood(spark, tmp_path):
     a = {(r["url"], r["warc_ts"], r["lang"]) for r in t_hot.read().collect()}
     b = {(r["url"], r["warc_ts"], r["lang"]) for r in t_plain.read().collect()}
     assert a == b and len(a) == 301  # 300 cold urls + 1 hot winner
+
+
+def test_iceberg_golden_sql_edge_cases():
+    """Golden statements for every generated shape the adapter can emit
+    (the jars are absent in-sandbox, so the SQL text IS the contract):
+    tombstone-as-row inserts, rename mid-batch, add+rename chains."""
+    # 1. tombstones are ROWS: the column list must carry _deleted so a
+    #    winning delete INSERTS a tombstone when unmatched
+    cols = ["url", "text", "_lww_ts_us", "_lww_pos", "_lww_file", "_deleted"]
+    merge = build_merge_sql("lake.t", cols)
+    assert "INSERT (url, text, _lww_ts_us, _lww_pos, _lww_file, _deleted)" in merge
+    assert "VALUES (s.url, s.text, s._lww_ts_us, s._lww_pos, s._lww_file, s._deleted)" in merge
+    # and the rank guard must allow updating a live row INTO a tombstone
+    assert "t._deleted" not in merge.split("WHEN MATCHED")[1].split("THEN")[0], (
+        "rank guard must not exclude tombstone transitions"
+    )
+
+    # 2. rename mid-batch: DDL statements are emitted in log order BEFORE
+    #    the merge, so the merge's column list uses the post-rename name
+    ddls = [
+        {"kind": "add_column", "col": "extra", "dtype": "string"},
+        {"kind": "rename_column", "col": "extra", "new_name": "extra_v2"},
+    ]
+    stmts = [build_ddl_sql("lake.t", d) for d in ddls]
+    assert stmts == [
+        "ALTER TABLE lake.t ADD COLUMN extra string",
+        "ALTER TABLE lake.t RENAME COLUMN extra TO extra_v2",
+    ]
+    merge2 = build_merge_sql("lake.t", ["url", "extra_v2", "_lww_ts_us",
+                                        "_lww_pos", "_lww_file", "_deleted"])
+    assert "s.extra_v2" in merge2 and "s.extra " not in merge2
+
+    # 3. add_column dtype defaulting (DDL events may omit dtype)
+    assert build_ddl_sql("t", {"kind": "add_column", "col": "x", "dtype": None}) \
+        == "ALTER TABLE t ADD COLUMN x string"
+
+    # 4. composite create: bucket partitioning + hidden columns present once
+    create = build_create_sql("lake.t", [["url", "string"], ["extra_v2", "string"]], 8)
+    assert create.count("_deleted boolean") == 1
+    assert "PARTITIONED BY (bucket(8, url))" in create
