@@ -818,6 +818,66 @@ def q_txn_gated_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (1 h) per op over the events table —
+    the batch twin of streaming/windows.windowed_op_counts (same code
+    path; watermark is a streaming-only no-op)."""
+    ev = _cdc_stream(spark, sf_dir).select(
+        F.struct(F.col("ts").cast("timestamp").alias("warc_ts")).alias("after"),
+        "op",
+    )
+    from mysql_syncer_spark.streaming.windows import windowed_op_counts
+
+    return windowed_op_counts(ev, window="1 hour")
+
+
+def q_ana_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics beyond the reference's surface: fact⋈dim⋈dim rollup with
+    EXPLICIT broadcast of the small dimensions (customer, nation) — no
+    shuffle of the orders fact for the join; the only exchange is the
+    final groupBy on ~25 nations. Sum in DECIMAL for cross-engine
+    exactness (double sums are addition-order-dependent)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("total_price_s"),
+    )
+
+
+def q_intvar_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: INTVAR/auto-increment capture — the latched insert id applies
+    to the IMMEDIATELY following INSERT only (reference
+    rs_parse_binlog.c:188-223); updates/deletes do not consume it and
+    INTVAR events themselves are skipped with position advance.
+    Deterministic stream (pure function of position) → oracle from range().
+    Pattern: pos%6==0 → INTVAR(id=5000+pos); pos%6==1 → I (or D when
+    pos%18==1, which must NOT take the id); else U."""
+    from mysql_syncer_spark.operators.filters import op_filter
+    from mysql_syncer_spark.operators.intvar import with_auto_increment
+
+    op = (
+        F.when(F.col("id") % 6 == 0, "INTVAR")
+        .when((F.col("id") % 18 == 1), "D")
+        .when(F.col("id") % 6 == 1, "I")
+        .otherwise("U")
+    )
+    ev = spark.range(1200).select(
+        F.col("id").alias("log_pos"),
+        F.lit(0).alias("file_seq"),
+        op.alias("op"),
+        F.when(F.col("id") % 6 == 0, 5000 + F.col("id")).alias("intvar"),
+    )
+    out = with_auto_increment(ev)
+    return op_filter(out).select("log_pos", "op", "auto_increment_id")
+
+
 def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
     """Multimodal: binary image column → typed metadata (mapInPandas;
@@ -889,6 +949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_binary_row_decode": q_binary_row_decode,
         "cdc_mysql_typed_decode": q_mysql_typed_decode,
         "cdc_server_id_guard": q_server_id_guard,
+        "cdc_intvar_capture": q_intvar_capture,
+        "cdc_event_time_windows": q_event_time_windows,
+        "ana_orders_by_nation": q_ana_orders_by_nation,
         "cdc_txn_gated_batches": q_txn_gated_batches,
         "cdc_stream_stateful_lww": q_stream_stateful_lww,
         "mm_image_meta": q_mm_image_meta,
@@ -1083,6 +1146,27 @@ def oracle_sql() -> dict[str, str]:
             FROM range(1000) t(i)
         """,
         "cdc_mysql_typed_decode": _MYSQL_TYPED_DECODE_SQL,
+        "cdc_event_time_windows": f"""
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                   {_OP_SQL} AS op, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "ana_orders_by_nation": """
+            SELECT n_name, count(*) AS n_orders,
+                   sum(o_totalprice::DECIMAL(18,2))::VARCHAR AS total_price_s
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "cdc_intvar_capture": """
+            SELECT i AS log_pos,
+                   CASE WHEN i % 18 = 1 THEN 'D'
+                        WHEN i % 6 = 1 THEN 'I' ELSE 'U' END AS op,
+                   CASE WHEN i % 6 = 1 AND i % 18 <> 1 THEN 5000 + i - 1
+                   END AS auto_increment_id
+            FROM range(1200) t(i) WHERE i % 6 <> 0
+        """,
         "cdc_server_id_guard": """
             SELECT count(*) AS n_kept, min(i) AS first_kept, max(i) AS last_kept
             FROM range(1000) t(i)

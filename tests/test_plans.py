@@ -63,3 +63,13 @@ def test_merge_single_exchange(spark, event_log_dir, tmp_table_path):
     )
     plan = _plan(merged)
     assert plan.count("Exchange") == 1, plan
+
+
+def test_orders_by_nation_broadcasts_dims(spark, sf_dir):
+    """The fact⋈dim joins must be broadcast (no shuffle of orders for the
+    join); exactly one aggregate exchange remains."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_ana_orders_by_nation(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan

@@ -52,3 +52,34 @@ def test_streaming_kill_and_resume(spark, event_log_dir, event_table, tmp_path):
     assert res["n_commits"] >= 2
     oracle, _, _ = sequential_replay(event_table)
     assert_state_equal(PagesTable(spark, table_path).read().collect(), oracle)
+
+
+def test_windowed_op_counts_stream_equals_batch(spark, event_log_dir, tmp_path):
+    """Watermarked event-time windows over the CDC stream: the streaming
+    result (availableNow, complete mode) must equal the batch computation
+    of the SAME function — late out-of-order warc_ts rows included."""
+    from mysql_syncer_spark.sources.event_log import read_event_log, stream_event_log
+    from mysql_syncer_spark.streaming.windows import windowed_op_counts
+
+    batch = {
+        (r["window_start_us"], r["op"]): r["n_events"]
+        for r in windowed_op_counts(
+            read_event_log(spark, event_log_dir).filter("op in ('I','U','D')")
+        ).collect()
+    }
+    stream = stream_event_log(spark, event_log_dir, max_files_per_trigger=1)
+    out = windowed_op_counts(stream.filter("op in ('I','U','D')"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start_us"], r["op"]): r["n_events"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got == batch and len(got) > 0
