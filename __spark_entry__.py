@@ -442,6 +442,44 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the MinHash-LSH
+    candidate graph (cluster_id = min doc id; keep one doc per cluster)."""
+    from mysql_syncer_spark.functions.dedup_text import duplicate_clusters
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), k=8)
+    pairs = lsh_candidate_pairs(sigs, k=8, bands=4)
+    return duplicate_clusters(pairs)
+
+
+def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 (token budgeting / tokenizer training)."""
+    from mysql_syncer_spark.functions.text import vocabulary
+
+    return vocabulary(_t(spark, sf_dir, "documents"), top_k=50)
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over deterministic synthetic text carrying emails /
+    phone-shaped / SSN-shaped spans; oracle rebuilds input AND expected
+    output from range() with the same regex chain."""
+    from mysql_syncer_spark.functions.text import redact_pii
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("contact user"),
+            F.col("id"),
+            F.lit("@example.com or call 555-01"),
+            F.lpad((F.col("id") % 100).cast("string"), 2, "0"),
+            F.lit("-1234 ssn 123-45-"),
+            F.lpad((F.col("id") % 10000).cast("string"), 4, "0"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    return df.select("doc_id", redact_pii(F.col("text")).alias("clean_text"))
+
+
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(simhash(_t(spark, sf_dir, "documents")), max_hamming=8)
 
@@ -968,6 +1006,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard,
         "doc_lsh_jaccard_verified": q_doc_lsh_jaccard_verified,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_vocab_topk": q_doc_vocab_topk,
+        "doc_pii_redact": q_doc_pii_redact,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_near_pairs": q_doc_simhash_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1303,6 +1344,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 4) >= 0.5
+        """,
+        "doc_dup_clusters": f"""
+            {_TOK_CTE}, {sig_sql},
+            banded AS (
+                SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS key FROM sig
+                UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+                UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+                UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+            p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                      UNION SELECT doc_b, doc_a FROM p),
+            walk AS (
+                WITH RECURSIVE r(src, node) AS (
+                    SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+                    UNION
+                    SELECT r.src, e.dst FROM r JOIN edges e ON r.node = e.src)
+                SELECT * FROM r)
+            SELECT src AS doc_id, min(node) AS cluster_id,
+                   src = min(node) AS keep
+            FROM walk GROUP BY src
+        """,
+        "doc_vocab_topk": f"""
+            WITH alltoks AS (
+                SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token
+                FROM documents),
+            counts AS (SELECT token, count(*) AS n_occurrences
+                       FROM alltoks WHERE token <> '' GROUP BY token)
+            SELECT token, n_occurrences,
+                   row_number() OVER (ORDER BY n_occurrences DESC, token ASC)
+                       AS rank
+            FROM counts
+            ORDER BY rank LIMIT 50
+        """,
+        "doc_pii_redact": r"""
+            SELECT i AS doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       'contact user' || i || '@example.com or call 555-01'
+                           || lpad((i % 100)::VARCHAR, 2, '0')
+                           || '-1234 ssn 123-45-'
+                           || lpad((i % 10000)::VARCHAR, 4, '0') || ' end',
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS clean_text
+            FROM range(500) t(i)
         """,
         "emb_lsh_block_cosine_pairs": _lsh_block_pairs_sql(
             dim=64, n_planes=6, seed=42, min_sim=0.15

@@ -157,6 +157,54 @@ def _band_widths(bits: int, n_bands: int) -> list[int]:
     return [base + (1 if b < extra else 0) for b in range(n_bands)]
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate edges → dedup clusters
+    (cluster_id = smallest doc id in the component; keep = id==cluster).
+    Iterative min-label propagation: each round is one equi-join + one
+    min-aggregate, both partial-combined; duplicate clusters have small
+    diameter so convergence takes a handful of rounds (early exit on a
+    fixpoint). This is the standard distributed CC recipe at corpus scale —
+    no driver-side graph, no cartesian anything.
+    Output: doc_id, cluster_id, keep."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("id").agg(F.min("label").alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("keep"),
+    )
+
+
 def verified_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",

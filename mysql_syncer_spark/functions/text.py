@@ -200,6 +200,50 @@ def rolling_fingerprint(text: Column) -> Column:
     )
 
 
+# PII scrubbing patterns — fixed, version-independent ASCII regexes that
+# behave identically under Java regex and RE2/DuckDB (no lookarounds).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Training-corpus PII scrubbing: emails / phone-shaped / SSN-shaped
+    spans replaced with typed placeholders. Pure JVM regexp_replace chain
+    (whole-stage codegen) — the 100 TB hot path needs no Python here."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def vocabulary(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """Corpus vocabulary: total occurrence count per whitespace token,
+    top-k by (count desc, token asc). Explode multiplies rows, but count
+    partial-combines map-side so the shuffle carries one row per (mapper,
+    token); top-k is a TakeOrdered, no global sort. Output: token,
+    n_occurrences, rank."""
+    toks = df.select(
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    from pyspark.sql import Window
+
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n_occurrences"), F.asc("token"))),
+    )
+    return ranked.filter(F.col("rank") <= top_k)
+
+
+def normalized_text(text: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over normalized text (lower + collapsed
     whitespace). Stable across engines (md5 of UTF-8 bytes)."""

@@ -104,3 +104,21 @@ def test_simhash_near_pairs_complete_vs_brute_force(spark):
             if a < b and bin((sh[a] ^ sh[b]) & (2**64 - 1)).count("1") <= max_h
         }
         assert got == want, (max_h, want - got, got - want)
+
+
+def test_duplicate_clusters_connected_components(spark):
+    """CC over candidate edges: chains collapse to min-id clusters; keep
+    flag marks exactly one doc per cluster."""
+    from mysql_syncer_spark.functions.dedup_text import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3,9} via chain, component {5,7}, edge dup included
+        [(1, 2), (2, 3), (3, 9), (5, 7), (1, 2)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in duplicate_clusters(pairs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False), 9: (1, False),
+        5: (5, True), 7: (5, False),
+    }

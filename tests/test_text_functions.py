@@ -70,3 +70,34 @@ def test_quality_and_fingerprint(spark):
     assert row["stop_hits"] == 2  # 'The'/'the' both match after lower()
     assert row["punct_hits"] == 2
     assert len(row["fp"]) == 32
+
+
+def test_pii_redaction(spark):
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.functions.text import redact_pii
+
+    rows = [
+        (0, "mail a.b+c@sub.example.org now"),
+        (1, "call 555-123-4567 or 555-0100-1234"),
+        (2, "ssn 123-45-6789 stays private; year 2024-01-01 is not an ssn"),
+        (3, "clean text untouched"),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = {r["i"]: r["c"] for r in df.select("i", redact_pii(F.col("text")).alias("c")).collect()}
+    assert out[0] == "mail <EMAIL> now"
+    assert out[1] == "call <PHONE> or <PHONE>"
+    assert out[2].startswith("ssn <SSN> stays")
+    assert "2024-01-01" in out[2]  # date shape is NOT an SSN
+    assert out[3] == "clean text untouched"
+
+
+def test_vocabulary_counts_and_ranks(spark):
+    from mysql_syncer_spark.functions.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(0, "a b b c"), (1, "B a  a")], "doc_id long, text string"
+    )
+    out = {r["token"]: (r["n_occurrences"], r["rank"]) for r in vocabulary(df, top_k=2).collect()}
+    # lowercased totals: a=3, b=3, c=1; tie a/b broken by token asc
+    assert out == {"a": (3, 1), "b": (3, 2)}
