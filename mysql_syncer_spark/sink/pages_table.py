@@ -262,6 +262,36 @@ class PagesTable:
             return self.spark.createDataFrame([], schema=fields)
         return live_view(st)
 
+    def lookup(self, key_value) -> DataFrame:
+        """Point read by key: hash to the bucket, scan ONLY that bucket's
+        delta dirs (manifest-level pruning — the Iceberg partition-pruned
+        point lookup), LWW-merge its vintages, filter live. At any table
+        size the scan touches one bucket's files."""
+        m = self.manifest()
+        import pyspark.sql.functions as _F
+
+        bucket = None
+        # compute the bucket with the SAME jvm hash the writer used
+        probe = self.spark.createDataFrame(
+            [(key_value,)], f"{m.key_columns[0]} string"
+        ).select(
+            _F.pmod(_F.xxhash64(*m.key_columns), _F.lit(m.num_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        bucket = probe.head()["b"]
+        raw = self._read_buckets(m, [int(bucket)])
+        if raw is None:
+            fields = ", ".join(f"`{n}` {t}" for n, t in m.schema)
+            return self.spark.createDataFrame([], schema=fields)
+        raw = raw.filter(F.col(m.key_columns[0]) == key_value)
+        from ..operators.dedup import lww_dedup  # local: avoid cycle
+
+        merged = lww_dedup(
+            raw, list(m.key_columns), ["_lww_ts_us", "_lww_file", "_lww_pos"]
+        )
+        return live_view(merged)
+
     # ------------------------------------------------------------------
     # write
     # ------------------------------------------------------------------

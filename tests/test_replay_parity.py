@@ -140,3 +140,23 @@ def test_pipelined_replay_matches_oracle_and_is_idempotent(
                   pipeline_depth=4)
     assert all(b.get("skipped") for b in res2["batches"])
     assert_state_equal(t.read().collect(), oracle)
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, replayed, event_table):
+    """lookup(url) reads only the key's bucket and returns exactly the
+    live row (or nothing for tombstoned/unknown urls)."""
+    path, _ = replayed
+    t = PagesTable(spark, path)
+    oracle, _, _ = sequential_replay(event_table)
+    some_url = sorted(oracle)[0]
+    row = t.lookup(some_url).collect()
+    assert len(row) == 1 and row[0]["url"] == some_url
+    assert _to_us(row[0]["warc_ts"]) == _to_us(oracle[some_url]["warc_ts"])
+    assert t.lookup("https://no.such.url/").collect() == []
+    # pruning evidence: the scan reads at most 1/num_buckets of the files
+    m = t.manifest()
+    total_dirs = sum(len(v) for v in m.buckets.values())
+    probe = spark.createDataFrame([(some_url,)], "url string").select(
+        F.pmod(F.xxhash64("url"), F.lit(m.num_buckets)).cast("int").alias("b")
+    ).head()["b"]
+    assert len(m.buckets[str(probe)]) < total_dirs
