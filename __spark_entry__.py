@@ -3,9 +3,11 @@
 Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (CDC
 dataflow ops, expressed over the driver's ``events`` table as the stand-in
 change stream) or a web-scale training-data op (over ``documents`` /
-``embeddings``). Each has a DuckDB ``oracle_sql()`` twin unless the op is
-not SQL-expressible (engine replay internals, media codecs) — those get
-the driver's rows-only check.
+``embeddings``). EVERY entry has a DuckDB ``oracle_sql()`` twin — the
+non-SQL-expressible parts are bridged by (a) writing seeded generated
+inputs to a deterministic path both engines read, (b) embedding seeded
+numpy constants (LSH planes, k-means centroids) as SQL literals, and
+(c) test inputs that are pure functions of range(i).
 
 CDC mapping used throughout (events → change stream):
   key      = user_id              (the reference's PK / our url)
@@ -586,6 +588,60 @@ def _lsh_block_pairs_sql(
                round(list_cosine_similarity(x.v, y.v), 4) AS sim_r
         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
         WHERE round(list_cosine_similarity(x.v, y.v), 4) >= {min_sim}
+    """
+
+
+def _ivf_sql(
+    k_clusters: int = 8,
+    sample_rows: int = 512,
+    seed: int = 42,
+    n_probe: int = 3,
+    k: int = 10,
+) -> str:
+    """DuckDB mirror of the IVF query: the oracle trains the SAME seeded
+    k-means on the SAME deterministic sample (lowest vec_ids) read straight
+    from the parquet the driver's `embeddings` view wraps, then embeds the
+    centroids as literal DOUBLE[] arrays; assignment is a first-argmin CASE
+    cascade over list_distance, candidates = the query's n_probe nearest
+    clusters, scored by rounded cosine. The driver's oracle runs at sf0.01
+    (MSSS_ORACLE_SF overrides for local checks at other SFs)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mysql_syncer_spark.functions.similarity import kmeans_np
+
+    sf_dir = os.environ.get("MSSS_ORACLE_SF", "/root/testdata/sf0.01")
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    vecs = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    x = vecs[: min(sample_rows, len(vecs))]
+    cent = kmeans_np(x, k_clusters, iters=8, seed=seed)
+    q = vecs[0]  # vecs sorted by vec_id; the query vector is vec_id == 0
+    d2 = ((cent - q) ** 2).sum(1)
+    probes = [int(i) for i in d2.argsort()[:n_probe]]
+    lits = ["[" + ", ".join(repr(float(v)) for v in c) + "]" for c in cent]
+    dists = ", ".join(
+        f"list_distance(v, {lits[j]}) AS d{j}" for j in range(k_clusters)
+    )
+    arms = []
+    for j in range(k_clusters):
+        conds = [f"d{j} < d{m}" for m in range(j)] + [
+            f"d{j} <= d{m}" for m in range(j + 1, k_clusters)
+        ]
+        arms.append(f"WHEN {' AND '.join(conds)} THEN {j}")
+    cluster = "CASE " + " ".join(arms[:-1]) + f" ELSE {k_clusters - 1} END"
+    return f"""
+        WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        d AS (SELECT vec_id, v, {dists} FROM s),
+        a AS (SELECT vec_id, v, {cluster} AS cluster FROM d),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) AS sim_r
+        FROM a WHERE cluster IN ({", ".join(str(p) for p in probes)})
+        ORDER BY sim_r DESC, vec_id ASC LIMIT {k}
     """
 
 
@@ -1224,6 +1280,18 @@ def oracle_sql() -> dict[str, str]:
                    24::INT AS height, 3::INT AS channels
             FROM range(200) t(i)
         """,
+        "mm_audio_features": """
+            WITH v AS (
+                SELECT m.i AS media_id,
+                       ((s.j * (220 + (m.i % 24) * 55)) % 16000)
+                           * 24000 // 16000 - 12000 AS v
+                FROM range(100) m(i), range(4000) s(j))
+            SELECT media_id, 16000 AS sample_rate, 4000 AS n_samples,
+                   0.25 AS duration_s,
+                   round(sqrt(avg((v * v)::DOUBLE)), 4) AS rms,
+                   max(abs(v))::INT AS peak
+            FROM v GROUP BY media_id
+        """,
         "mm_video_frame_sample": """
             SELECT m.i AS media_id, f.idx::INT AS frame_idx,
                    f.idx / 8.0 AS ts_s, (16 * 12)::INT AS frame_bytes
@@ -1397,6 +1465,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_simhash": f"{_simhash_cte()} SELECT doc_id, simhash FROM sh",
         "emb_ann_lsh_topk": _ann_lsh_sql(dim=64, k=10, n_planes=6, seed=42),
+        "emb_ivf_topk": _ivf_sql(
+            k_clusters=8, sample_rows=512, seed=42, n_probe=3, k=10
+        ),
         "doc_simhash_near_pairs": _simhash_pairs_sql(max_hamming=8),
         "emb_cosine_topk": """
             SELECT vec_id,

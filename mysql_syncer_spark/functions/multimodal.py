@@ -54,10 +54,14 @@ def make_image_bytes(media_id: int, w: int = 32, h: int = 24, c: int = 3) -> byt
 
 
 def make_audio_bytes(media_id: int, sr: int = 16000, seconds: float = 0.25) -> bytes:
+    """Deterministic sawtooth PCM from PURE INTEGER arithmetic — unlike a
+    libm sine, every sample is exactly reproducible by any engine (the
+    DuckDB oracle rebuilds the identical buffer), while still exercising
+    real waveform feature math downstream."""
     n = int(sr * seconds)
-    t = np.arange(n, dtype=np.float64) / sr
-    freq = 220.0 + (media_id % 24) * 55.0
-    wave = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+    i = np.arange(n, dtype=np.int64)
+    freq = 220 + (media_id % 24) * 55
+    wave = (((i * freq) % sr) * 24000 // sr - 12000).astype(np.int16)
     return b"PCM1" + struct.pack("<I", sr) + wave.tobytes()
 
 

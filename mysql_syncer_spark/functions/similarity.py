@@ -122,6 +122,23 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket_udf(F.col(vec_col)))
 
 
+def kmeans_np(x: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd iterations over a sample matrix — the SHARED training
+    core: the engine trains on a Spark-collected sample, the DuckDB
+    contract oracle trains on the same rows read straight from parquet,
+    and both get bit-identical centroids."""
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(0)
+    return cent
+
+
 def train_ivf_centroids(
     df: DataFrame,
     k: int = 16,
@@ -139,16 +156,7 @@ def train_ivf_centroids(
         df.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
     )
     x = np.array([r[0] for r in sample], dtype=np.float64)
-    rng = np.random.default_rng(seed)
-    cent = x[rng.choice(len(x), size=k, replace=False)]
-    for _ in range(iters):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-        assign = d2.argmin(1)
-        for j in range(k):
-            members = x[assign == j]
-            if len(members):
-                cent[j] = members.mean(0)
-    return cent
+    return kmeans_np(x, k, iters, seed)
 
 
 def ivf_assign(

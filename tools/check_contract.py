@@ -68,6 +68,8 @@ def rows_key(df_pandas):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:] or None
+    # data-derived oracles (IVF centroid literals) must read the SAME sf
+    os.environ["MSSS_ORACLE_SF"] = sf_dir
     spark = get_spark(app_name="contract_check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
