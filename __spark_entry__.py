@@ -444,6 +444,52 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation decision: exact-dup removal (keep only
+    the lowest doc_id per content fingerprint) + quality floor (>= 5
+    tokens, punct_ratio <= 0.3) + language allowlist — one boolean per doc
+    with the failing reason, the final filter a training pipeline applies."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    feats = quality_features(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    scored = scored.withColumn("dup_rank", F.row_number().over(w))
+    reason = (
+        F.when(F.col("dup_rank") > 1, "duplicate")
+        .when(F.col("n_tokens") < 5, "too_short")
+        .when(F.col("punct_ratio") > 0.3, "punct")
+        .when(~F.col("lang_pred").isin("en", "de", "fr", "es"), "lang")
+        .otherwise("keep")
+    )
+    return scored.select(
+        "doc_id", reason.alias("reason"), (reason == "keep").alias("keep")
+    )
+
+
+def q_emb_cosine_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: LSH-bucketed cosine pairs above a
+    similarity threshold → connected components → keep one vector per
+    cluster. The last dedup mode of the brief's list (exact / MinHash-LSH /
+    SimHash / n-gram Jaccard / embedding-cosine)."""
+    from mysql_syncer_spark.functions.dedup_text import duplicate_clusters
+    from mysql_syncer_spark.functions.similarity import with_lsh_bucket
+
+    e = _t(spark, sf_dir, "embeddings")
+    bucketed = with_lsh_bucket(e, dim=64, n_planes=6, seed=42)
+    pairs = pairwise_cosine_within_block(bucketed, "bucket", min_sim=0.2)
+    return duplicate_clusters(
+        pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    ).withColumnsRenamed({"doc_id": "vec_id"})
+
+
 def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components over the MinHash-LSH
     candidate graph (cluster_id = min doc id; keep one doc per cluster)."""
@@ -1065,6 +1111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_vocab_topk": q_doc_vocab_topk,
         "doc_pii_redact": q_doc_pii_redact,
+        "doc_keep_decision": q_doc_keep_decision,
+        "emb_cosine_dedup_clusters": q_emb_cosine_dedup_clusters,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_near_pairs": q_doc_simhash_pairs,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -1412,6 +1460,59 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 4) >= 0.5
+        """,
+        "doc_keep_decision": rf"""
+            WITH scored AS (
+                SELECT doc_id, md5({_NORM_SQL}) AS fp,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       round(len(regexp_extract_all(text, '[^\w\s]')) /
+                             greatest(length(text), 1), 4) AS punct_ratio,
+                       CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                            WHEN en = greatest(en, de, fr, es) THEN 'en'
+                            WHEN de = greatest(en, de, fr, es) THEN 'de'
+                            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                            ELSE 'es' END AS lang_pred
+                FROM (SELECT *,
+                       len(regexp_extract_all(lower(text), '\b(the|a|is|and|of)\b')) AS en,
+                       len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de,
+                       len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS fr,
+                       len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS es
+                      FROM documents)),
+            r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+                         AS dup_rank FROM scored)
+            SELECT doc_id,
+                   CASE WHEN dup_rank > 1 THEN 'duplicate'
+                        WHEN n_tokens < 5 THEN 'too_short'
+                        WHEN punct_ratio > 0.3 THEN 'punct'
+                        WHEN lang_pred NOT IN ('en','de','fr','es') THEN 'lang'
+                        ELSE 'keep' END AS reason,
+                   CASE WHEN dup_rank > 1 THEN 'duplicate'
+                        WHEN n_tokens < 5 THEN 'too_short'
+                        WHEN punct_ratio > 0.3 THEN 'punct'
+                        WHEN lang_pred NOT IN ('en','de','fr','es') THEN 'lang'
+                        ELSE 'keep' END = 'keep' AS keep
+            FROM r
+        """,
+        "emb_cosine_dedup_clusters": f"""
+            WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            b AS (SELECT vec_id, v,
+                         {_lsh_bucket_sql('v', _lsh_plane_literals(64, 6, 42))}
+                             AS bucket FROM s),
+            p AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+                  FROM b x JOIN b y
+                    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+                  WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.2),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                      UNION SELECT doc_b, doc_a FROM p),
+            walk AS (
+                WITH RECURSIVE r(src, node) AS (
+                    SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+                    UNION
+                    SELECT r.src, e.dst FROM r JOIN edges e ON r.node = e.src)
+                SELECT * FROM r)
+            SELECT src AS vec_id, min(node) AS cluster_id,
+                   src = min(node) AS keep
+            FROM walk GROUP BY src
         """,
         "doc_dup_clusters": f"""
             {_TOK_CTE}, {sig_sql},
