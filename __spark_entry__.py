@@ -1018,6 +1018,40 @@ def q_intvar_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op_filter(out).select("log_pos", "op", "auto_increment_id")
 
 
+def q_replay_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 metrics/lineage as a value-checked query: replay the shared log
+    through the engine, read back the per-commit metrics history. Every
+    number is a deterministic function of the tx-gated log: events_in per
+    batch = row events whose transaction closes in that file,
+    rows_after_dedup = distinct urls among them (within-batch LWW winners,
+    tombstones included), dedup_hits the difference, ddl_applied = DDL
+    rows of the file (duplicate redeliveries counted — the apply is
+    idempotent, the collection metric is not deduplicated)."""
+    from mysql_syncer_spark.plans.replay import replay
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+
+    log_dir = _shared_event_log("stateful", 1_500, 500)
+    table_path = os.path.join(tempfile.mkdtemp(prefix="entry_lineage_"), "pages")
+    replay(spark, log_dir, table_path, num_buckets=8)
+    hist = PagesTable(spark, table_path).metrics_history()
+    rows = [
+        (
+            int(m["batch_id"].rsplit("-", 1)[1]),
+            m["events_in"],
+            m["rows_after_dedup"],
+            m["dedup_hits"],
+            m["ddl_applied"],
+        )
+        for m in hist
+        if m["batch_id"].startswith("fileseq-")
+    ]
+    return spark.createDataFrame(
+        rows,
+        "batch_seq int, events_in long, rows_after_dedup long, "
+        "dedup_hits long, ddl_applied long",
+    )
+
+
 def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
     """Multimodal: binary image column → typed metadata (mapInPandas;
@@ -1093,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_event_time_windows": q_event_time_windows,
         "ana_orders_by_nation": q_ana_orders_by_nation,
         "cdc_txn_gated_batches": q_txn_gated_batches,
+        "cdc_replay_lineage_metrics": q_replay_lineage_metrics,
         "cdc_stream_stateful_lww": q_stream_stateful_lww,
         "mm_image_meta": q_mm_image_meta,
         "mm_audio_features": q_mm_audio_features,
@@ -1322,6 +1357,25 @@ def oracle_sql() -> dict[str, str]:
                    max(file_seq)::INT AS applied_in_batch
             FROM read_parquet('{_shared_event_log("stateful", 1_500, 500)}/binlog-*.parquet')
             WHERE tx_id IS NOT NULL GROUP BY tx_id
+        """,
+        "cdc_replay_lineage_metrics": f"""
+            WITH ev AS (
+                SELECT after.url AS url, tx_id, file_seq, op
+                FROM read_parquet('{_shared_event_log("stateful", 1_500, 500)}/binlog-*.parquet')),
+            rowev AS (SELECT url, tx_id, file_seq FROM ev
+                      WHERE op IN ('I','U','D')),
+            tb AS (SELECT tx_id, max(file_seq) AS b FROM rowev GROUP BY tx_id),
+            asg AS (SELECT rowev.url, tb.b FROM rowev
+                    JOIN tb ON rowev.tx_id = tb.tx_id),
+            ddl AS (SELECT file_seq AS b, count(*) AS n_ddl FROM ev
+                    WHERE op = 'DDL' GROUP BY file_seq)
+            SELECT asg.b::INT AS batch_seq,
+                   count(*) AS events_in,
+                   count(DISTINCT url) AS rows_after_dedup,
+                   count(*) - count(DISTINCT url) AS dedup_hits,
+                   coalesce(any_value(ddl.n_ddl), 0)::BIGINT AS ddl_applied
+            FROM asg LEFT JOIN ddl ON asg.b = ddl.b
+            GROUP BY asg.b
         """,
         "mm_image_meta": """
             SELECT i AS media_id, (32 + (i % 4) * 8)::INT AS width,
