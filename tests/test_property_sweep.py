@@ -32,8 +32,11 @@ def test_replay_equals_oracle(spark, spec):
     d = tempfile.mkdtemp(prefix=f"sweep{spec.seed}_")
     write_event_log(tbl, d)
     oracle, cols, _ = sequential_replay(tbl)
+    # alternate serial and pipelined apply across the sweep — both paths
+    # must match the sequential oracle on every workload shape
+    depth = 4 if spec.seed % 2 == 0 else 1
     path = tempfile.mkdtemp(prefix=f"sweept{spec.seed}_") + "/pages"
-    replay(spark, d, path, num_buckets=8)
+    replay(spark, d, path, num_buckets=8, pipeline_depth=depth)
     t = PagesTable(spark, path)
     assert t.read().columns == cols
     assert_state_equal(t.read().collect(), oracle)
