@@ -1052,6 +1052,24 @@ def q_replay_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC OUT: the net change per key between snapshot v1 (after the
+    first tx-gated batch) and the final snapshot — Iceberg incremental
+    read. The oracle reconstructs both snapshots' LWW winners from the
+    shared log (batch assignment = max file_seq per transaction) and
+    classifies I/U/D identically."""
+    from mysql_syncer_spark.plans.replay import replay
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+
+    log_dir = _shared_event_log("stateful", 1_500, 500)
+    table_path = os.path.join(tempfile.mkdtemp(prefix="entry_chlog_"), "pages")
+    replay(spark, log_dir, table_path, num_buckets=8)
+    ch = PagesTable(spark, table_path).changes_between(1)
+    return ch.select(
+        "url", "change_op", F.unix_micros("warc_ts").alias("warc_ts_us")
+    )
+
+
 def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
     """Multimodal: binary image column → typed metadata (mapInPandas;
@@ -1128,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ana_orders_by_nation": q_ana_orders_by_nation,
         "cdc_txn_gated_batches": q_txn_gated_batches,
         "cdc_replay_lineage_metrics": q_replay_lineage_metrics,
+        "cdc_incremental_changelog": q_incremental_changelog,
         "cdc_stream_stateful_lww": q_stream_stateful_lww,
         "mm_image_meta": q_mm_image_meta,
         "mm_audio_features": q_mm_audio_features,
@@ -1376,6 +1395,38 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(any_value(ddl.n_ddl), 0)::BIGINT AS ddl_applied
             FROM asg LEFT JOIN ddl ON asg.b = ddl.b
             GROUP BY asg.b
+        """,
+        "cdc_incremental_changelog": f"""
+            WITH rowev AS (
+                SELECT after.url AS url, epoch_us(after.warc_ts) AS ts,
+                       file_seq, log_pos, op, tx_id
+                FROM read_parquet('{_shared_event_log("stateful", 1_500, 500)}/binlog-*.parquet')
+                WHERE op IN ('I','U','D')),
+            tb AS (SELECT tx_id, max(file_seq) AS b FROM rowev GROUP BY tx_id),
+            asg AS (SELECT r.*, tb.b FROM rowev r JOIN tb ON r.tx_id = tb.tx_id),
+            w0 AS (SELECT url, op, ts, file_seq, log_pos FROM (
+                       SELECT *, row_number() OVER (PARTITION BY url
+                           ORDER BY ts DESC, file_seq DESC, log_pos DESC) AS rn
+                       FROM asg WHERE b = 0) WHERE rn = 1),
+            w1 AS (SELECT url, op, ts, file_seq, log_pos FROM (
+                       SELECT *, row_number() OVER (PARTITION BY url
+                           ORDER BY ts DESC, file_seq DESC, log_pos DESC) AS rn
+                       FROM asg) WHERE rn = 1),
+            j AS (SELECT coalesce(w1.url, w0.url) AS url,
+                         w0.url IS NOT NULL AND w0.op <> 'D' AS live0,
+                         w1.url IS NOT NULL AND w1.op <> 'D' AS live1,
+                         (w0.ts, w0.file_seq, w0.log_pos) IS DISTINCT FROM
+                             (w1.ts, w1.file_seq, w1.log_pos) AS moved,
+                         w1.ts AS new_ts
+                  FROM w1 FULL OUTER JOIN w0 ON w1.url = w0.url)
+            SELECT url,
+                   CASE WHEN NOT live0 AND live1 THEN 'I'
+                        WHEN live0 AND NOT live1 THEN 'D'
+                        WHEN live0 AND live1 AND moved THEN 'U' END AS change_op,
+                   new_ts AS warc_ts_us
+            FROM j
+            WHERE (NOT live0 AND live1) OR (live0 AND NOT live1)
+                  OR (live0 AND live1 AND moved)
         """,
         "mm_image_meta": """
             SELECT i AS media_id, (32 + (i % 4) * 8)::INT AS width,

@@ -153,10 +153,17 @@ class PagesTable:
     def exists(cls, path: str) -> bool:
         return os.path.exists(os.path.join(path, "_versions", "CURRENT"))
 
-    def manifest(self) -> Manifest:
-        with open(os.path.join(self.path, "_versions", "CURRENT")) as f:
-            v = int(f.read().strip())
-        with open(os.path.join(self.path, "_versions", f"v{v:08d}.json")) as f:
+    def manifest(self, version: int | None = None) -> Manifest:
+        """CURRENT manifest, or a historical snapshot (time travel — every
+        commit's manifest persists until expired; vacuum() GCs only data
+        dirs the CURRENT snapshot no longer references, so travel depth is
+        bounded by vacuum cadence, exactly Iceberg expire_snapshots)."""
+        if version is None:
+            with open(os.path.join(self.path, "_versions", "CURRENT")) as f:
+                version = int(f.read().strip())
+        with open(
+            os.path.join(self.path, "_versions", f"v{version:08d}.json")
+        ) as f:
             return Manifest.from_json(f.read())
 
     def _commit(self, m: Manifest) -> None:
@@ -234,14 +241,15 @@ class PagesTable:
                 cols.append(F.lit(None).cast(dtype).alias(name))
         return df.select(*cols)
 
-    def state(self) -> DataFrame | None:
-        """Full internal state (incl. tombstones + hidden cols).
+    def state(self, version: int | None = None) -> DataFrame | None:
+        """Full internal state (incl. tombstones + hidden cols), CURRENT or
+        at a historical snapshot ``version`` (time travel).
 
         Merge-on-read: a key may appear in several delta vintages of its
         bucket; the reader LWW-merges them (Iceberg MoR semantics). When
         every bucket holds a single vintage (fresh table or just
         compacted), the merge is skipped — the scan is served as-is."""
-        m = self.manifest()
+        m = self.manifest(version)
         raw = self._read_buckets(m, None)
         if raw is None:
             return None
@@ -253,14 +261,68 @@ class PagesTable:
             raw, list(m.key_columns), ["_lww_ts_us", "_lww_file", "_lww_pos"]
         )
 
-    def read(self) -> DataFrame:
-        """Public snapshot view (live rows, user columns)."""
-        st = self.state()
+    def read(self, version: int | None = None) -> DataFrame:
+        """Public snapshot view (live rows, user columns), optionally AS OF
+        an older committed version."""
+        st = self.state(version)
         if st is None:
-            m = self.manifest()
+            m = self.manifest(version)
             fields = ", ".join(f"`{n}` {t}" for n, t in m.schema)
             return self.spark.createDataFrame([], schema=fields)
         return live_view(st)
+
+    def changes_between(
+        self, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Incremental changelog (CDC OUT — Iceberg incremental read): the
+        net change per key between two committed snapshots, classified as
+        I (new/resurrected live row), U (live row whose LWW rank advanced),
+        D (live row tombstoned). Unchanged keys are excluded, so a reader
+        consuming the changelog applies exactly the delta. Implemented as
+        one full-outer join of the two snapshot states on the key —
+        tombstones persist across snapshots, so no key silently vanishes."""
+        m = self.manifest()
+        key = m.key_columns[0]
+        rank_cols = ["_lww_ts_us", "_lww_file", "_lww_pos"]
+        s0 = self.state(v_from)
+        s1 = self.state(v_to)
+        if s1 is None:
+            fields = f"`{key}` string, `change_op` string"
+            return self.spark.createDataFrame([], schema=fields)
+        new = s1.select(
+            F.col(key).alias("_k1"),
+            F.struct(*rank_cols).alias("_r1"),
+            F.col("_deleted").alias("_d1"),
+            *[c for c in s1.columns if not c.startswith("_")],
+        )
+        if s0 is None:
+            j = new.withColumn("_k0", F.lit(None).cast("string")).withColumn(
+                "_r0", F.lit(None).cast(new.schema["_r1"].dataType)
+            ).withColumn("_d0", F.lit(None).cast("boolean"))
+        else:
+            old = s0.select(
+                F.col(key).alias("_k0"),
+                F.struct(*rank_cols).alias("_r0"),
+                F.col("_deleted").alias("_d0"),
+            )
+            j = new.join(old, new._k1 == old._k0, "full_outer")
+        live0 = F.col("_k0").isNotNull() & ~F.coalesce(F.col("_d0"), F.lit(True))
+        live1 = F.col("_k1").isNotNull() & ~F.coalesce(F.col("_d1"), F.lit(True))
+        change = (
+            F.when(~live0 & live1, "I")
+            .when(live0 & ~live1, "D")
+            .when(live0 & live1 & (F.col("_r0") != F.col("_r1")), "U")
+        )
+        payload = [c for c in s1.columns if not c.startswith("_") and c != key]
+        return (
+            j.withColumn("change_op", change)
+            .filter(F.col("change_op").isNotNull())
+            .select(
+                F.coalesce(F.col("_k1"), F.col("_k0")).alias(key),
+                "change_op",
+                *payload,
+            )
+        )
 
     def lookup(self, key_value) -> DataFrame:
         """Point read by key: hash to the bucket, scan ONLY that bucket's

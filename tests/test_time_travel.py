@@ -1,0 +1,73 @@
+"""Time travel + incremental changelog (CDC OUT) on the pages table."""
+
+import datetime as dt
+
+from mysql_syncer_spark.sink.pages_table import PagesTable
+
+SCHEMA = (
+    "log_pos long, file_seq int, server_id int, op string, table string,"
+    " tx_id long,"
+    " before struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>,"
+    " after struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>,"
+    " ddl struct<kind:string,col:string,new_name:string,dtype:string>"
+)
+
+
+def _ev(spark, rows):
+    data = [
+        (
+            pos, seq, 1, op, "web.pages", 1, None,
+            (url, dt.datetime.fromisoformat(ts),
+             b"<p>x</p>" if op != "D" else None, None,
+             "en" if op != "D" else None),
+            None,
+        )
+        for pos, seq, op, url, ts in rows
+    ]
+    return spark.createDataFrame(data, SCHEMA)
+
+
+def test_time_travel_and_incremental_changelog(spark, tmp_table_path):
+    t = PagesTable.create(spark, tmp_table_path, num_buckets=4)
+    t.apply_batch("b0", _ev(spark, [
+        (1, 0, "I", "u1", "2024-01-01T00:00"),
+        (2, 0, "I", "u2", "2024-01-01T00:01"),
+    ]), None)
+    v1 = int(t.manifest().version)
+    t.apply_batch("b1", _ev(spark, [
+        (3, 1, "U", "u1", "2024-02-01T00:00"),
+        (4, 1, "D", "u2", "2024-02-01T00:01"),
+        (5, 1, "I", "u3", "2024-02-01T00:02"),
+    ]), None)
+    v2 = int(t.manifest().version)
+
+    # time travel: the old snapshot still reads exactly the b0 state
+    old = {r["url"]: r["warc_ts"] for r in t.read(version=v1).collect()}
+    assert set(old) == {"u1", "u2"}
+    assert old["u1"].isoformat().startswith("2024-01-01")
+    now = {r["url"] for r in t.read().collect()}
+    assert now == {"u1", "u3"}
+
+    # incremental changelog v1 -> v2: exactly the net delta, classified
+    ch = {r["url"]: r["change_op"] for r in t.changes_between(v1, v2).collect()}
+    assert ch == {"u1": "U", "u2": "D", "u3": "I"}
+    # the U row carries the NEW payload
+    u1 = [r for r in t.changes_between(v1, v2).collect() if r["url"] == "u1"][0]
+    assert u1["warc_ts"].isoformat().startswith("2024-02-01")
+
+    # from-empty changelog = everything live as inserts... plus the
+    # tombstoned key never appears as I
+    ch0 = {r["url"]: r["change_op"] for r in t.changes_between(0).collect()}
+    assert ch0 == {"u1": "I", "u3": "I"}
+
+    # no-op window: identical snapshots → empty changelog
+    assert t.changes_between(v2, v2).collect() == []
+
+
+def test_changelog_resurrection_is_insert(spark, tmp_table_path):
+    t = PagesTable.create(spark, tmp_table_path, num_buckets=4)
+    t.apply_batch("b0", _ev(spark, [(1, 0, "D", "u1", "2024-01-05T00:00")]), None)
+    v1 = int(t.manifest().version)
+    t.apply_batch("b1", _ev(spark, [(2, 1, "I", "u1", "2024-01-06T00:00")]), None)
+    ch = {r["url"]: r["change_op"] for r in t.changes_between(v1).collect()}
+    assert ch == {"u1": "I"}  # tombstone → live = resurrection = I
