@@ -533,14 +533,15 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_cte() -> str:
-    """DuckDB mirror of functions.dedup_text.simhash: md5-derived bits →
-    64 signed votes → sign vector packed into a BIGINT (bit 63 = sign)."""
+    """DuckDB mirror of functions.dedup_text.simhash: md5-derived bits
+    (two 32-bit hex groups) → 64 signed votes → sign vector packed into a
+    BIGINT (bit 63 = sign)."""
     digits = ", ".join(
-        f"position(substring(h,{p + 1},1) IN '0123456789abcdef')-1 AS v{p}"
-        for p in range(16)
+        f"('0x' || substring(h, {8 * g + 1}, 8))::BIGINT AS v{g}"
+        for g in range(2)
     )
     votes = ", ".join(
-        f"sum(CASE WHEN (v{i // 4} >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        f"sum(CASE WHEN (v{i // 32} >> {i % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(64)
     )
     bits = ", ".join(

@@ -253,26 +253,27 @@ def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash: per token the first 16 hex digits of md5(token)
-    supply 64 bits (bit i = bit i%4 of hex digit i//4); per bit a +1/-1
-    vote over the doc's token set; the sign vector packs into a long.
-    One shuffle, 64 SUM aggregates, all codegen. md5-derived bits keep the
-    signature engine-portable (DuckDB computes the identical value).
+    supply 64 bits (two 8-hex-digit groups parsed as 32-bit ints; bit i =
+    bit i%32 of group i//32); per bit a +1/-1 vote over the doc's token
+    set; the sign vector packs into a long. One shuffle, 64 SUM
+    aggregates, all codegen. md5-derived bits keep the signature
+    engine-portable (DuckDB parses the same hex groups).
     Output: id, simhash (long)."""
     toks = distinct_tokens(df, id_col, text_col).withColumn("h", F.md5("token"))
-    # 16 hex-digit values, computed once, feed all 64 vote expressions
+    # two 32-bit group values per token feed all 64 vote expressions
     digits = toks.select(
         id_col,
         *[
-            F.conv(F.substring(F.col("h"), p + 1, 1), 16, 10)
-            .cast("int")
-            .alias(f"v{p}")
-            for p in range(16)
+            F.conv(F.substring(F.col("h"), 8 * g + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"v{g}")
+            for g in range(2)
         ],
     )
     votes = [
         F.sum(
             F.when(
-                F.shiftright(F.col(f"v{i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1, 1
+                F.shiftright(F.col(f"v{i // 32}"), i % 32).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(64)
