@@ -1053,6 +1053,57 @@ def q_replay_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exactly_once_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 exactly-once as a value-checked query: each batch is applied
+    TWICE with the same batch_id (at-least-once delivery); the ledger must
+    absorb the redeliveries so the final state equals one clean LWW pass
+    over the distinct events — which is exactly what the oracle computes
+    from range()."""
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+
+    def mk(lo: int, hi: int, file_seq: int) -> DataFrame:
+        i = F.col("id")
+        op = (
+            F.when(i % 13 == 0, "D").when(i % 3 == 0, "U").otherwise("I")
+        )
+        is_del = i % 13 == 0
+        after = F.struct(
+            F.concat(F.lit("u"), (i % 40).cast("string")).alias("url"),
+            F.timestamp_micros(F.lit(1_700_000_000_000_000) + i * 1_000_000).alias(
+                "warc_ts"
+            ),
+            F.lit(None).cast("binary").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.when(is_del, F.lit(None)).otherwise(F.lit("en")).alias("lang"),
+        )
+        return spark.range(lo, hi).select(
+            i.alias("log_pos"),
+            F.lit(file_seq).alias("file_seq"),
+            F.lit(1).alias("server_id"),
+            op.alias("op"),
+            F.lit("web.pages").alias("table"),
+            F.lit(None).cast("long").alias("tx_id"),
+            F.lit(None)
+            .cast(
+                "struct<url:string,warc_ts:timestamp,html:binary,"
+                "text:string,lang:string>"
+            )
+            .alias("before"),
+            after.alias("after"),
+            F.lit(None)
+            .cast("struct<kind:string,col:string,new_name:string,dtype:string>")
+            .alias("ddl"),
+        )
+
+    table_path = os.path.join(tempfile.mkdtemp(prefix="entry_e1_"), "pages")
+    t = PagesTable.create(spark, table_path, num_buckets=4)
+    for bid, lo, hi, seq in (("b0", 0, 200, 0), ("b1", 200, 400, 1)):
+        t.apply_batch(bid, mk(lo, hi, seq), None)
+        redo = t.apply_batch(bid, mk(lo, hi, seq), None)  # redelivery
+        assert redo.get("skipped") is True
+    return t.read().select("url", F.unix_micros("warc_ts").alias("last_ts_us"))
+
+
 def q_incremental_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC OUT: the net change per key between snapshot v1 (after the
     first tx-gated batch) and the final snapshot — Iceberg incremental
@@ -1148,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_gated_batches": q_txn_gated_batches,
         "cdc_replay_lineage_metrics": q_replay_lineage_metrics,
         "cdc_incremental_changelog": q_incremental_changelog,
+        "cdc_exactly_once_redelivery": q_exactly_once_redelivery,
         "cdc_stream_stateful_lww": q_stream_stateful_lww,
         "mm_image_meta": q_mm_image_meta,
         "mm_audio_features": q_mm_audio_features,
@@ -1396,6 +1448,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(any_value(ddl.n_ddl), 0)::BIGINT AS ddl_applied
             FROM asg LEFT JOIN ddl ON asg.b = ddl.b
             GROUP BY asg.b
+        """,
+        "cdc_exactly_once_redelivery": """
+            WITH ev AS (
+                SELECT i, 'u' || (i % 40)::VARCHAR AS url,
+                       CASE WHEN i % 13 = 0 THEN 'D'
+                            WHEN i % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+                       1700000000000000 + i * 1000000 AS ts
+                FROM range(400) t(i)),
+            w AS (SELECT url, op, ts,
+                         row_number() OVER (PARTITION BY url
+                             ORDER BY ts DESC, i DESC) AS rn
+                  FROM ev)
+            SELECT url, ts AS last_ts_us FROM w WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_incremental_changelog": f"""
             WITH rowev AS (
