@@ -165,11 +165,15 @@ def duplicate_clusters(
 ) -> DataFrame:
     """Connected components over near-dup candidate edges → dedup clusters
     (cluster_id = smallest doc id in the component; keep = id==cluster).
-    Iterative min-label propagation: each round is one equi-join + one
-    min-aggregate, both partial-combined; duplicate clusters have small
-    diameter so convergence takes a handful of rounds (early exit on a
-    fixpoint). This is the standard distributed CC recipe at corpus scale —
-    no driver-side graph, no cartesian anything.
+
+    Each round does (a) one-hop min-label propagation (equi-join + min
+    aggregate, both partial-combined) AND (b) a pointer jump
+    (label ← label's label), so the label distance covered per round
+    DOUBLES — rounds needed grow as O(log diameter), not O(diameter).
+    Long near-dup chains (common in real corpora: A≈B≈C≈…) therefore
+    converge inside a small ``max_iters``; if the fixpoint is still not
+    reached the loop RAISES instead of silently returning split clusters
+    with wrong cluster_id/keep flags. No driver-side graph, no cartesian.
     Output: doc_id, cluster_id, keep."""
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -179,13 +183,26 @@ def duplicate_clusters(
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
+    converged = False
     for _ in range(max_iters):
+        # (a) one-hop: min over self + neighbours' labels
         nbr = (
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), "label")
         )
-        new_labels = (
+        hop = (
             labels.unionByName(nbr).groupBy("id").agg(F.min("label").alias("label"))
+        )
+        # (b) pointer jump: label ← label(label). Every label value is
+        # itself a node id (min over ids), so the lookup join is total;
+        # label(x) ≤ x monotonically, hence the jump only shrinks labels.
+        ptr = hop.select(F.col("id").alias("_pid"), F.col("label").alias("_plabel"))
+        new_labels = (
+            hop.join(ptr, hop.label == ptr._pid, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("_plabel"), F.col("label")).alias("label"),
+            )
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
         changed = (
@@ -197,7 +214,13 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds "
+            "(component diameter > 2^rounds); raise max_iters"
+        )
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("label").alias("cluster_id"),

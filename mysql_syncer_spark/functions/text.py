@@ -225,19 +225,22 @@ def vocabulary(
     """Corpus vocabulary: total occurrence count per whitespace token,
     top-k by (count desc, token asc). Explode multiplies rows, but count
     partial-combines map-side so the shuffle carries one row per (mapper,
-    token); top-k is a TakeOrdered, no global sort. Output: token,
-    n_occurrences, rank."""
+    token); the top-k itself is ``orderBy(...).limit(k)`` — a TakeOrdered
+    physical op (per-partition heaps, no global sort, no single-partition
+    window over the whole vocabulary). Rank is then derived by a window
+    over the ALREADY k-limited result (≤ k rows — driver-trivial).
+    Output: token, n_occurrences, rank."""
     toks = df.select(
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    topk = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(top_k)
     from pyspark.sql import Window
 
-    ranked = counts.withColumn(
+    return topk.withColumn(
         "rank",
         F.row_number().over(Window.orderBy(F.desc("n_occurrences"), F.asc("token"))),
     )
-    return ranked.filter(F.col("rank") <= top_k)
 
 
 def normalized_text(text: Column) -> Column:

@@ -125,6 +125,23 @@ def iter_tx_gated_batches(
     boundary (F5). Deterministic: the batch for file N is a pure function
     of the log, so resumed/re-run replays build identical batches."""
     batches_src = plan_batches(spark, event_dir)
+    # Arbitrary layouts (path=None) have no per-file footer to probe; one
+    # pruned aggregate (file_seq, min/max tx_id — column-pruned scan, tiny
+    # shuffle) supplies the same bounds so gating holds for EVERY layout,
+    # not just named binlog files.
+    agg_bounds: dict[int, tuple[int | None, int | None]] = {}
+    if any(p is None for _, p in batches_src):
+        rows = (
+            read_event_log(spark, event_dir)
+            .groupBy("file_seq")
+            .agg(F.min("tx_id").alias("mn"), F.max("tx_id").alias("mx"))
+            .collect()
+        )
+        agg_bounds = {r["file_seq"]: (r["mn"], r["mx"]) for r in rows}
+
+    def bounds(seq: int, path: str | None) -> tuple[int | None, int | None]:
+        return _tx_bounds(path) if path is not None else agg_bounds.get(seq, (None, None))
+
     deferred = None
     for i, (seq, path) in enumerate(batches_src):
         if path is not None:
@@ -136,12 +153,11 @@ def iter_tx_gated_batches(
         if deferred is not None:
             batch = deferred.unionByName(batch, allowMissingColumns=True)
         deferred = None
-        next_path = (
-            batches_src[i + 1][1] if i + 1 < len(batches_src) else None
-        )
-        if path is not None and next_path is not None:
-            _, cur_max = _tx_bounds(path)
-            nxt_min, _ = _tx_bounds(next_path)
+        has_next = i + 1 < len(batches_src)
+        if has_next:
+            nseq, npath = batches_src[i + 1]
+            _, cur_max = bounds(seq, path)
+            nxt_min, _ = bounds(nseq, npath)
             if cur_max is not None and nxt_min == cur_max:
                 # the tail transaction straddles the rotation: hold it back
                 deferred = batch.filter(F.col("tx_id") == cur_max)

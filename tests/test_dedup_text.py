@@ -122,3 +122,33 @@ def test_duplicate_clusters_connected_components(spark):
         1: (1, True), 2: (1, False), 3: (1, False), 9: (1, False),
         5: (5, True), 7: (5, False),
     }
+
+
+def test_duplicate_clusters_long_chain_converges_logarithmically(spark):
+    """A path graph of diameter 60 (long near-dup chain) must reach the
+    fixpoint well inside the round budget — pointer jumping makes rounds
+    O(log diameter) — and NOT silently return split clusters."""
+    from mysql_syncer_spark.functions.dedup_text import duplicate_clusters
+
+    n = 61
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = duplicate_clusters(pairs, max_iters=10).collect()
+    assert len(out) == n
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert sum(r["keep"] for r in out) == 1
+
+
+def test_duplicate_clusters_raises_instead_of_splitting(spark):
+    """With a round budget too small for the diameter the operator must
+    raise, never return wrong cluster ids."""
+    import pytest
+
+    from mysql_syncer_spark.functions.dedup_text import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iters=2).collect()

@@ -99,3 +99,32 @@ def test_full_gated_replay_matches_oracle(spark, gated_log):
     oracle, _, _ = sequential_replay(tbl)
     rows = {r["url"] for r in PagesTable(spark, table_path).read().collect()}
     assert rows == set(oracle)
+
+
+def test_gating_holds_for_arbitrary_file_layout(spark, gated_log, tmp_path):
+    """A log whose files do NOT match the binlog-NNN naming (plan_batches
+    falls back to a pruned file_seq scan) must still yield tx-closed
+    batches — the fallback computes per-file tx bounds from one pruned
+    aggregate instead of parquet footers."""
+    import shutil
+
+    d, _ = gated_log
+    alt = str(tmp_path / "renamed")
+    os.makedirs(alt)
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".parquet"):
+            shutil.copy(os.path.join(d, fn), os.path.join(alt, f"part-{fn[7:13]}.snappy.parquet"))
+    seen: dict[int, int] = {}
+    n_batches = 0
+    for seq, batch in iter_tx_gated_batches(spark, alt):
+        n_batches += 1
+        for r in batch.select("tx_id").distinct().collect():
+            if r["tx_id"] is None:
+                continue
+            tx = int(r["tx_id"])
+            assert tx not in seen, f"tx {tx} split across batches {seen[tx]}/{seq}"
+            seen[tx] = seq
+    assert n_batches == 6
+    assert len(seen) == (SPEC.n_events + 6) // 7
+    # and the straddling tx (tx 1, idx 7..13) really was deferred whole
+    assert seen[1] == 1
