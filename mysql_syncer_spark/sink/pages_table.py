@@ -450,6 +450,12 @@ class PagesTable:
             self._compact_buckets(m, over, bid)
             mark("compaction")
         m.committed_batches.append(bid)
+        # inline ledger fold: contiguous numeric ids collapse into the
+        # prefix watermark ON EVERY COMMIT, so the manifest stays
+        # O(buckets + out-of-order window) over a 10^6-batch replay instead
+        # of growing one ledger entry per commit (compact_ledger() remains
+        # for one-off maintenance of legacy manifests).
+        self._fold_ledger(m)
         events_in = delta["events_in"]
         m.metrics = {
             "batch_id": bid,
@@ -483,22 +489,30 @@ class PagesTable:
 
         DDL ordering: callers pass ``ddl_index`` (batch_id → DDL dicts,
         pre-collected in ONE pushed-predicate scan of the whole log). Each
-        batch's DDLs mutate the manifest BEFORE its delta is submitted, and
-        the submitted task captures that mapping snapshot — so concurrent
-        batches each project with exactly the schema at their log position.
+        batch's DDLs are applied at SUBMIT time to a PLANNING COPY of the
+        manifest (so concurrent batches each project with exactly the
+        schema at their log position) but mutate the REAL manifest only
+        inside the batch's own ordered commit — the committed snapshot for
+        batch K (and any time-travel read of it) can therefore never carry
+        schema changes from later, not-yet-committed batches, and schema
+        visibility stays behind the exactly-once ledger across a crash.
         Exactly-once: commits happen strictly in order; a crash leaves only
         orphan delta dirs (vacuum()-able), never a half commit."""
         from concurrent.futures import ThreadPoolExecutor
 
         cfg = cfg or TableConfig(name="web.pages")
         m = self.manifest()
+        plan_m = Manifest.from_json(m.to_json())  # submit-time schema view
         ddl_index = ddl_index or {}
         results: list[dict] = []
-        inflight: list[tuple[str, int, float, object]] = []
+        inflight: list[tuple[str, list[dict], float, object]] = []
 
         def commit_head() -> None:
-            bid, n_ddl, t0, fut = inflight.pop(0)
-            results.append(self._commit_batch(m, bid, fut.result(), n_ddl, t0))
+            bid, ddls, t0, fut = inflight.pop(0)
+            delta = fut.result()
+            for d in ddls:  # buffered: manifest mutates with ITS commit
+                self._apply_ddl(m, d)
+            results.append(self._commit_batch(m, bid, delta, len(ddls), t0))
 
         with ThreadPoolExecutor(max_workers=depth) as ex:
             for batch_id, events in batches:
@@ -510,16 +524,16 @@ class PagesTable:
                     continue
                 ddls = ddl_index.get(bid, [])
                 for d in ddls:
-                    self._apply_ddl(m, d)
+                    self._apply_ddl(plan_m, d)
                 events = op_filter(
                     oversized_ddl_filter(table_filter(events, [cfg.name]))
                 )
-                mapping = dict(m.column_mapping)
+                mapping = dict(plan_m.column_mapping)
                 t0 = time.time()
                 fut = ex.submit(
                     self._write_batch_delta, events, cfg, mapping, m.num_buckets
                 )
-                inflight.append((bid, len(ddls), t0, fut))
+                inflight.append((bid, ddls, t0, fut))
                 while len(inflight) >= depth:
                     commit_head()
             while inflight:
@@ -749,14 +763,15 @@ class PagesTable:
             removed.append(entry)
         return {"removed_dirs": removed, "freed_bytes": freed}
 
-    def compact_ledger(self) -> dict:
+    @staticmethod
+    def _fold_ledger(m: Manifest) -> int:
         """Fold contiguous numeric batch-id prefixes into watermarks so the
-        committed-batches list stays O(recent) at 10^6+ batches. An id
-        ``<prefix>-<k>`` is committed iff k ≤ watermark[prefix] or it is in
-        the explicit list. Assumes redelivery only happens within the
-        un-compacted window — true for streaming (checkpointed, monotonic
-        batchIds) and for file-seq replay."""
-        m = self.manifest()
+        committed-batches list stays O(out-of-order window) at 10^6+
+        batches. An id ``<prefix>-<k>`` is committed iff k ≤
+        watermark[prefix] or it is in the explicit list. Assumes redelivery
+        only happens within the un-compacted window — true for streaming
+        (checkpointed, monotonic batchIds) and for file-seq replay.
+        Mutates ``m`` in memory; returns entries folded away."""
         by_prefix: dict[str, set[int]] = {}
         keep: list[str] = []
         for bid in m.committed_batches:
@@ -773,11 +788,30 @@ class PagesTable:
             watermarks[prefix] = w
             keep.extend(f"{prefix}-{k}" for k in sorted(nums) if k > w)
         m.ledger_watermarks = watermarks
-        before = len(m.committed_batches)
+        folded = len(m.committed_batches) - len(keep)
         m.committed_batches = keep
+        return folded
+
+    def compact_ledger(self) -> dict:
+        """One-off ledger maintenance (legacy manifests; new commits fold
+        inline in ``_commit_batch``)."""
+        m = self.manifest()
+        before = len(m.committed_batches)
+        self._fold_ledger(m)
         m.version += 1
         self._commit(m)
-        return {"entries_before": before, "entries_after": len(keep), "watermarks": watermarks}
+        return {
+            "entries_before": before,
+            "entries_after": len(m.committed_batches),
+            "watermarks": m.ledger_watermarks,
+        }
+
+    def n_committed(self, m: Manifest | None = None) -> int:
+        """Number of committed batches (explicit ledger entries + batches
+        folded into prefix watermarks — watermark w covers ids 0..w)."""
+        m = m or self.manifest()
+        wm = getattr(m, "ledger_watermarks", {}) or {}
+        return len(m.committed_batches) + sum(w + 1 for w in wm.values())
 
     def _is_committed(self, m: Manifest, bid: str) -> bool:
         if bid in m.committed_batches:

@@ -91,6 +91,6 @@ def run_streaming_replay(
     table = PagesTable(spark, table_path)
     return {
         "table_path": table_path,
-        "n_commits": len(table.manifest().committed_batches),
+        "n_commits": table.n_committed(),
         "last_progress": q.lastProgress,
     }

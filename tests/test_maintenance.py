@@ -31,11 +31,44 @@ def test_ledger_compaction_preserves_idempotence(spark, event_log_dir, tmp_table
     replay(spark, event_log_dir, tmp_table_path, num_buckets=8)
     t = PagesTable(spark, tmp_table_path)
     n_before = t.read().count()
-    res = t.compact_ledger()
-    assert res["entries_after"] < res["entries_before"]
+    # commits fold inline now: the explicit list is already empty and the
+    # fileseq watermark covers every batch
+    m = t.manifest()
+    assert m.committed_batches == []
+    assert m.ledger_watermarks.get("fileseq", -1) >= 1
+    assert t.n_committed(m) >= 2
+    res = t.compact_ledger()  # legacy maintenance path stays a no-op
+    assert res["entries_after"] == res["entries_before"] == 0
     assert res["watermarks"].get("fileseq", -1) >= 1
-    assert t.manifest().committed_batches == []
     # replaying compacted batches must still be a no-op
     res2 = replay(spark, event_log_dir, tmp_table_path, num_buckets=8)
     assert all(b.get("skipped") for b in res2["batches"])
     assert t.read().count() == n_before
+
+
+def test_manifest_size_stays_flat_over_many_commits(spark, tmp_table_path):
+    """200 ordered commits: the manifest must not grow per commit — the
+    inline ledger fold keeps committed_batches empty (watermark advances)
+    and lineage stays O(buckets)."""
+    t = PagesTable.create(spark, tmp_table_path, num_buckets=4)
+    m = t.manifest()
+    sizes = []
+    for k in range(200):
+        empty_delta = {
+            "new_dirs": {}, "lineage_rows": {}, "events_in": 0,
+            "max_key_rows": 0, "use_salted": False,
+        }
+        t._commit_batch(m, f"fileseq-{k}", empty_delta, 0, 0.0)
+        sizes.append(len(m.to_json()))
+    assert t.n_committed() == 200
+    assert t.manifest().committed_batches == []
+    assert t.manifest().ledger_watermarks["fileseq"] == 199
+    # byte-size flat: growth over the last 100 commits is only the digit
+    # width of version/batch-id counters, never a per-commit ledger entry
+    assert sizes[-1] - sizes[99] <= 8, (sizes[99], sizes[-1])
+    # out-of-order ids stay explicitly listed until the gap closes
+    t._commit_batch(m, "fileseq-250", dict(
+        new_dirs={}, lineage_rows={}, events_in=0, max_key_rows=0,
+        use_salted=False), 0, 0.0)
+    assert t.manifest().committed_batches == ["fileseq-250"]
+    assert t.manifest().ledger_watermarks["fileseq"] == 199

@@ -60,3 +60,46 @@ def test_ddl_redelivery_idempotent(spark, tmp_table_path):
     t.apply_batch("b1", ev.withColumn("log_pos", F.col("log_pos") + 10), None)
     names = [n for n, _ in t.manifest().schema]
     assert names.count("extra") == 1
+
+
+def test_pipelined_commit_never_leaks_future_ddl(spark, tmp_table_path):
+    """With depth-4 pipelining, batch K+1's DDL must NOT be visible in the
+    manifest committed for batch K (schema visibility stays behind the
+    exactly-once ledger) — while batch K+1's own data still projects with
+    its DDL applied."""
+    t = PagesTable.create(spark, tmp_table_path, num_buckets=2)
+    schema = (
+        "log_pos long, file_seq int, server_id int, op string, table string,"
+        " tx_id long,"
+        " before struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>,"
+        " after struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>,"
+        " ddl struct<kind:string,col:string,new_name:string,dtype:string>"
+    )
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    row = lambda pos, url: (pos, 0, 1, "I", "web.pages", None, None,
+                            (url, ts, None, "t", "en"), None)
+    b0 = spark.createDataFrame([row(1, "u0")], schema)
+    b1 = spark.createDataFrame(
+        [(10, 1, 1, "DDL", "web.pages", None, None, None,
+          ("add_column", "extra", None, "string")),
+         row(11, "u1")],
+        schema,
+    )
+    ddl_index = {"b-1": [
+        {"kind": "add_column", "col": "extra", "new_name": None,
+         "dtype": "string", "file_seq": 1, "log_pos": 10}
+    ]}
+    t.apply_batches_pipelined(
+        [("b-0", b0), ("b-1", b1)], depth=4, ddl_index=ddl_index
+    )
+    # version 1 = b-0's commit: schema must NOT carry 'extra'
+    m1 = t.manifest(version=1)
+    assert [n for n, _ in m1.schema] == ["url", "warc_ts", "html", "text", "lang"]
+    # version 2 = b-1's commit: schema carries it
+    m2 = t.manifest(version=2)
+    assert [n for n, _ in m2.schema][-1] == "extra"
+    # and time-travel to v1 serves the pre-DDL schema
+    assert "extra" not in t.read(version=1).columns
+    assert "extra" in t.read().columns

@@ -37,12 +37,12 @@ def test_streaming_kill_and_resume(spark, event_log_dir, event_table, tmp_path):
     deadline = time.time() + 120
     while time.time() < deadline:
         t = PagesTable(spark, table_path)
-        if PagesTable.exists(table_path) and t.manifest().committed_batches:
+        if PagesTable.exists(table_path) and t.n_committed() > 0:
             break
         time.sleep(0.2)
     q.stop()
     q.awaitTermination(30)
-    n_before = len(PagesTable(spark, table_path).manifest().committed_batches)
+    n_before = PagesTable(spark, table_path).n_committed()
     assert n_before >= 1
 
     # resume from the same checkpoint
