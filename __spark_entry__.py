@@ -602,38 +602,81 @@ def _lsh_bucket_sql(vec: str, lits: list[str]) -> str:
     )
 
 
-def _ann_lsh_sql(dim: int = 64, k: int = 10, n_planes: int = 6, seed: int = 42) -> str:
-    """DuckDB mirror of functions.similarity.ann_topk_lsh: the same seeded
-    hyperplanes embedded as literal DOUBLE[] arrays; bucket = sign-bit
-    pattern of plane dots; score only the query's bucket."""
+def _oracle_query_vec(dim: int) -> list[float]:
+    """The query vector (vec_id = 0) read straight from the oracle-SF
+    parquet — so probe sets derived from it match the driver's view."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("MSSS_ORACLE_SF", "/root/testdata/sf0.01")
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_numpy()
+    idx = int(np.nonzero(ids == 0)[0][0])
+    return [float(x) for x in tbl["embedding"][idx].as_py()]
+
+
+def _ann_lsh_sql(
+    dim: int = 64,
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 42,
+    n_probe: int | None = None,
+) -> str:
+    """DuckDB mirror of functions.similarity.ann_topk_lsh (MULTI-PROBE):
+    the same seeded hyperplanes embedded as literal DOUBLE[] arrays; bucket
+    = sign-bit pattern of plane dots; the probe set (query bucket + one-bit
+    flips in |margin| order) is computed by the SAME lsh_probe_buckets the
+    engine uses, over the query vector read from the oracle-SF parquet."""
+    from mysql_syncer_spark.functions.similarity import lsh_probe_buckets
+
+    if n_probe is None:
+        n_probe = n_planes + 1
+    probes = lsh_probe_buckets(_oracle_query_vec(dim), dim, n_planes, seed, n_probe)
     lits = _lsh_plane_literals(dim, n_planes, seed)
-
-    def bucket_expr(vec: str) -> str:
-        return _lsh_bucket_sql(vec, lits)
-
     return f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                    WHERE vec_id = 0),
         s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        b AS (SELECT vec_id, v, {bucket_expr('v')} AS bucket FROM s),
-        qb AS (SELECT {bucket_expr('qv')} AS qbucket FROM q)
+        b AS (SELECT vec_id, v, {_lsh_bucket_sql('v', lits)} AS bucket FROM s)
         SELECT vec_id,
                round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) AS sim_r
-        FROM b, qb WHERE bucket = qbucket
+        FROM b WHERE bucket IN ({", ".join(str(p) for p in probes)})
         ORDER BY sim_r DESC, vec_id ASC LIMIT {k}
     """
 
 
-def _lsh_block_pairs_sql(
-    dim: int = 64, n_planes: int = 6, seed: int = 42, min_sim: float = 0.15
+def _lsh_band_pairs_sql(
+    dim: int = 64,
+    n_planes: int = 12,
+    n_bands: int = 2,
+    seed: int = 42,
+    min_sim: float = 0.15,
 ) -> str:
+    """DuckDB mirror of functions.similarity.lsh_cosine_pairs: OR-amplified
+    banded candidates (same plane slices), exact-cosine verified."""
+    from mysql_syncer_spark.functions.similarity import band_plane_slices
+
     lits = _lsh_plane_literals(dim, n_planes, seed)
+    band_selects = []
+    for b, (lo, hi) in enumerate(band_plane_slices(n_planes, n_bands)):
+        key = " + ".join(
+            f"CASE WHEN list_dot_product(v, {lits[j]}) > 0 "
+            f"THEN {1 << (j - lo)} ELSE 0 END"
+            for j in range(lo, hi)
+        )
+        band_selects.append(f"SELECT vec_id, {b} AS band, ({key}) AS key FROM s")
+    bands = " UNION ALL ".join(band_selects)
     return f"""
         WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        b AS (SELECT vec_id, v, {_lsh_bucket_sql('v', lits)} AS bucket FROM s)
-        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        bands AS ({bands}),
+        p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b,
                round(list_cosine_similarity(x.v, y.v), 4) AS sim_r
-        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        FROM p JOIN s x ON id_a = x.vec_id JOIN s y ON id_b = y.vec_id
         WHERE round(list_cosine_similarity(x.v, y.v), 4) >= {min_sim}
     """
 
@@ -710,19 +753,33 @@ def q_emb_block_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
-    return ann_topk_lsh(e, _query_vec(spark, sf_dir), dim=64, k=10, n_planes=6)
+    """Multi-probe ANN: query bucket + all one-bit-flip buckets (7 probes
+    of 64) — recall recovered from the single-bucket hole at ~11% of the
+    scan."""
+    return ann_topk_lsh(
+        _t(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        dim=64,
+        k=10,
+        n_planes=6,
+    )
 
 
 def q_emb_lsh_block_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs blocked by LSH bucket — the scale path for
-    pairwise cosine (emb_block_cosine_pairs uses a low-cardinality label
-    block and is O(n²/block); LSH buckets shrink blocks with data size)."""
-    from mysql_syncer_spark.functions.similarity import with_lsh_bucket
+    """Embedding near-dup pairs via OR-amplified banded LSH — the exported
+    scale path for pairwise cosine (emb_block_cosine_pairs uses a static
+    low-cardinality label block and is O(n²/block); banded LSH candidates
+    stay an equi-join and the bucket count grows with the plane budget)."""
+    from mysql_syncer_spark.functions.similarity import lsh_cosine_pairs
 
-    e = _t(spark, sf_dir, "embeddings")
-    bucketed = with_lsh_bucket(e, dim=64, n_planes=6, seed=42)
-    return pairwise_cosine_within_block(bucketed, "bucket", min_sim=0.15)
+    return lsh_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        dim=64,
+        n_planes=12,
+        n_bands=2,
+        min_sim=0.15,
+        seed=42,
+    )
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1732,8 +1789,8 @@ def oracle_sql() -> dict[str, str]:
                        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS clean_text
             FROM range(500) t(i)
         """,
-        "emb_lsh_block_cosine_pairs": _lsh_block_pairs_sql(
-            dim=64, n_planes=6, seed=42, min_sim=0.15
+        "emb_lsh_block_cosine_pairs": _lsh_band_pairs_sql(
+            dim=64, n_planes=12, n_bands=2, seed=42, min_sim=0.15
         ),
         "doc_simhash": f"{_simhash_cte()} SELECT doc_id, simhash FROM sh",
         "emb_ann_lsh_topk": _ann_lsh_sql(dim=64, k=10, n_planes=6, seed=42),

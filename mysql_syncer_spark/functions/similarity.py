@@ -69,7 +69,14 @@ def pairwise_cosine_within_block(
     min_sim: float | None = None,
 ) -> DataFrame:
     """All-pairs cosine restricted to equal ``block_col`` (label, LSH
-    bucket, …). Output: id_a < id_b, sim_r (rounded 4)."""
+    bucket, …). Output: id_a < id_b, sim_r (rounded 4).
+
+    SCALE NOTE: with a STATIC low-cardinality block (e.g. a label) this is
+    O(n²/blocks) and the block count does not grow with data — use it as a
+    per-bucket verifier / test oracle only. The exported production path
+    for global near-dup pairs is ``lsh_cosine_pairs`` (OR-amplified banded
+    LSH: bucket count grows with the plane budget, candidates stay an
+    equi-join)."""
     v = df.select(
         F.col(id_col),
         F.col(block_col).alias("_blk"),
@@ -120,6 +127,95 @@ def with_lsh_bucket(
         return pd.Series((signs @ weights).astype(np.int32))
 
     return df.withColumn(out_col, bucket_udf(F.col(vec_col)))
+
+
+def band_plane_slices(n_planes: int, n_bands: int) -> list[tuple[int, int]]:
+    """Contiguous plane ranges per band (shared by engine and SQL oracle)."""
+    if n_planes % n_bands:
+        raise ValueError("n_planes must divide evenly into n_bands")
+    w = n_planes // n_bands
+    return [(b * w, (b + 1) * w) for b in range(n_bands)]
+
+
+def with_lsh_bands(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    n_bands: int = 2,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OR-amplified banded LSH: the planes split into ``n_bands`` contiguous
+    groups; each vector emits one (band, key) row per band (posexplode).
+    Two vectors become candidates if ANY band's sign pattern matches —
+    the standard OR-amplification that removes the single-bucket recall
+    hole (a near-dup pair straddling one hyperplane still agrees on the
+    bands that exclude that plane). All keys come from ONE numpy matmul
+    per Arrow batch."""
+    planes = make_hyperplanes(dim, n_planes, seed)
+    slices = band_plane_slices(n_planes, n_bands)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def keys_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (mat @ planes.T) > 0  # (batch, n_planes)
+        keys = []
+        for lo, hi in slices:
+            weights = (1 << np.arange(hi - lo)).astype(np.int64)
+            keys.append((signs[:, lo:hi] @ weights).astype(np.int32))
+        stacked = np.stack(keys, axis=1)  # (batch, n_bands)
+        return pd.Series(list(stacked))
+
+    return df.withColumn("_band_keys", keys_udf(F.col(vec_col))).select(
+        "*", F.posexplode("_band_keys").alias("band", "key")
+    ).drop("_band_keys")
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    n_bands: int = 2,
+    min_sim: float = 0.15,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production embedding near-dup pairs: banded-LSH candidate
+    generation (equi-join on (band, key) — never all-pairs) followed by
+    exact cosine verification of only the candidates. Output: id_a < id_b,
+    sim_r (rounded 4)."""
+    banded = with_lsh_bands(df, dim, n_planes, n_bands, seed, vec_col).select(
+        id_col, "band", "key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    va = v.withColumnsRenamed({id_col: "id_a", "_v": "_va"})
+    vb = v.withColumnsRenamed({id_col: "id_b", "_v": "_vb"})
+    sim = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb"))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 4).alias("sim_r"))
+        .filter(F.col("sim_r") >= min_sim)
+    )
 
 
 def kmeans_np(x: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
@@ -199,6 +295,47 @@ def ivf_topk(
     return cosine_topk(cand, query, k, id_col, vec_col)
 
 
+def lsh_probe_buckets(
+    query: list[float], dim: int, n_planes: int, seed: int, n_probe: int
+) -> list[int]:
+    """Multi-probe bucket sequence for a query: its own bucket, then
+    neighbour buckets in INCREASING total flip cost, where flipping plane j
+    costs the query's margin |q·plane_j| (a near neighbour most plausibly
+    sits just across the planes the query is closest to). Flip SETS (not
+    just single flips) are generated in nondecreasing cost with the classic
+    shift/extend heap (multi-probe LSH, Lv et al., VLDB'07). Deterministic —
+    the SQL oracle embeds the same list."""
+    import heapq
+
+    planes = make_hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query, dtype=np.float64)
+    dots = planes @ q
+    qbucket = int(((dots > 0) * (1 << np.arange(n_planes))).sum())
+    margins = np.abs(dots)
+    order = np.argsort(margins, kind="stable")  # cheapest plane first
+    costs = [float(margins[j]) for j in order]
+    probes = [qbucket]
+    if n_probe <= 1 or n_planes == 0:
+        return probes
+    # heap entries: (total cost, flip set as indices into `order`)
+    heap: list[tuple[float, tuple[int, ...]]] = [(costs[0], (0,))]
+    while heap and len(probes) < n_probe:
+        c, subset = heapq.heappop(heap)
+        mask = 0
+        for idx in subset:
+            mask |= 1 << int(order[idx])
+        probes.append(qbucket ^ mask)
+        last = subset[-1]
+        if last + 1 < n_planes:
+            heapq.heappush(  # shift: swap the last flip for the next plane
+                heap, (c - costs[last] + costs[last + 1], subset[:-1] + (last + 1,))
+            )
+            heapq.heappush(  # extend: add the next plane to the set
+                heap, (c + costs[last + 1], subset + (last + 1,))
+            )
+    return probes
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query: list[float],
@@ -206,14 +343,19 @@ def ann_topk_lsh(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
-    Bucket filter prunes ~2^-n_planes of the data before any arithmetic."""
-    planes = make_hyperplanes(dim, n_planes, seed)
-    q = np.asarray(query, dtype=np.float64)
-    qbucket = int(((planes @ q > 0) * (1 << np.arange(n_planes))).sum())
+    """Approximate top-k with MULTI-PROBE LSH: score vectors in the query's
+    bucket plus its ``n_probe-1`` one-bit-flip neighbour buckets (default:
+    all of them, n_planes+1 probes). Single-bucket probing misses any true
+    neighbour that lands on the far side of ONE hyperplane — with 6-8
+    planes that is a large recall hole; probing the 1-flip shell recovers
+    it at (n_probe/2^n_planes) of the scan cost, still a pruned read."""
+    if n_probe is None:
+        n_probe = n_planes + 1
+    probes = lsh_probe_buckets(query, dim, n_planes, seed, n_probe)
     bucketed = with_lsh_bucket(df, dim, n_planes, seed, vec_col)
-    cand = bucketed.filter(F.col("bucket") == qbucket)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(cand, query, k, id_col, vec_col)

@@ -117,3 +117,78 @@ def test_ann_returns_query_bucket_subset(spark):
     assert 7 in got  # the query vector itself shares its own bucket
     exact = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
     assert exact[0] == 7
+
+
+def test_multiprobe_ann_recall_beats_single_probe(spark):
+    """Planted near-neighbours of the query: full 1-flip multi-probe must
+    recover recall@10 >= 0.9 vs brute force, and never be worse than the
+    single-bucket probe (the round-2 recall hole)."""
+    import numpy as np
+
+    from mysql_syncer_spark.functions.similarity import cosine_topk
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = rng.standard_normal((200, dim))
+    q = base[0] / np.linalg.norm(base[0])
+    planted = q[None, :] + 0.12 * rng.standard_normal((15, dim))
+    vecs = np.vstack([base, planted])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = [float(x) for x in q]
+
+    exact = {r["vec_id"] for r in cosine_topk(df, qv, k=10).collect()}
+    multi = {
+        r["vec_id"]
+        for r in ann_topk_lsh(
+            df, qv, dim=dim, k=10, n_planes=6, n_probe=10
+        ).collect()
+    }
+    single = {
+        r["vec_id"]
+        for r in ann_topk_lsh(df, qv, dim=dim, k=10, n_planes=6, n_probe=1).collect()
+    }
+    recall_multi = len(exact & multi) / len(exact)
+    recall_single = len(exact & single) / len(exact)
+    assert recall_multi >= 0.9, (recall_multi, exact, multi)
+    assert recall_multi >= recall_single
+
+
+def test_banded_lsh_pairs_recall(spark):
+    """100 planted near-dup twins: OR-amplified banded candidates + exact
+    verify must find >= 90% of the true pairs (sim >= 0.9), and every
+    reported sim must equal the brute-force value (verify is exact)."""
+    import numpy as np
+
+    from mysql_syncer_spark.functions.similarity import (
+        lsh_cosine_pairs,
+        pairwise_cosine_within_block,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    base = rng.standard_normal((100, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    twins = base + 0.08 * rng.standard_normal((100, dim))
+    vecs = np.vstack([base, twins])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # brute-force truth: one static block over everything (test-only shape)
+    brute = {
+        (r["id_a"], r["id_b"]): r["sim_r"]
+        for r in pairwise_cosine_within_block(
+            df.withColumn("blk", F.lit(1)), "blk", min_sim=0.9
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["sim_r"]
+        for r in lsh_cosine_pairs(
+            df, dim=dim, n_planes=12, n_bands=3, min_sim=0.9
+        ).collect()
+    }
+    assert len(brute) >= 80  # the planted twins really are near-dups
+    recall = len(set(brute) & set(got)) / len(brute)
+    assert recall >= 0.9, recall
+    for pair, sim in got.items():
+        assert pair in brute and brute[pair] == sim  # no false positives
