@@ -904,6 +904,111 @@ def q_mysql_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mysql_row_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
+    """P1-P4 at the reference's EXACT wire layout: ROWS_EVENT framing with
+    column types + bug-37426 STRING meta + meta-driven VARCHAR/BLOB length
+    prefixes + used-columns bitmap with an unused column and a skip-
+    sentinel column (rs_binlog_row.c:430-631). 500 rows packed 50-per-event
+    into 10 events (mapInPandas expands events → rows); every value is a
+    pure function of the index so the oracle rebuilds the table from
+    range()."""
+    import datetime as dtmod
+    from decimal import Decimal
+
+    from mysql_syncer_spark.sources.mysql_rows import (
+        MySQLColumn,
+        MySQLTableDef,
+        decode_mysql_rows,
+    )
+
+    td = MySQLTableDef(
+        columns=(
+            MySQLColumn("id", "long"),
+            MySQLColumn("name", "varchar(300)"),  # 2-byte prefix
+            MySQLColumn("tag", "varchar(40)"),  # 1-byte prefix
+            MySQLColumn("code", "string(300)"),  # bug-37426 meta fold
+            MySQLColumn("body", "blob(2)"),
+            MySQLColumn("price", "newdecimal(12,4)"),
+            MySQLColumn("d", "date"),
+            MySQLColumn("t", "time"),
+            MySQLColumn("ts", "timestamp"),
+            MySQLColumn("dtm", "datetime"),
+            MySQLColumn("y", "year"),
+            MySQLColumn("flags", "bit(16)"),
+            MySQLColumn("legacy", "varchar(10)"),  # unused bit → no bytes
+            MySQLColumn("secret", "varchar(10)"),  # skip sentinel
+        ),
+        skip=frozenset({"secret"}),
+    )
+    used = tuple(c.name for c in td.columns if c.name != "legacy")
+    base_d = dtmod.date(2000, 1, 1)
+    base_dt = dtmod.datetime(2001, 1, 1)
+
+    def mk(i: int) -> dict:
+        return {
+            "id": i,
+            "name": "n" * (i % 10) + str(i),
+            "tag": None if i % 7 == 0 else f"t{i % 50}",
+            "code": f"c{i % 100}",
+            "body": ((i * 2654435761) % (1 << 32)).to_bytes(4, "big"),
+            "price": None
+            if i % 11 == 0
+            else Decimal(i * 7919 - 1_000_000).scaleb(-4),
+            "d": base_d + dtmod.timedelta(days=i * 3),
+            "t": (i * 7919) % 86400,
+            "ts": 1_700_000_000 + i * 97,
+            "dtm": base_dt + dtmod.timedelta(seconds=i * 100_003),
+            "y": 0 if i % 97 == 0 else 1901 + (i % 150),
+            "flags": ((i * 40503) % 65536).to_bytes(2, "big"),
+            "secret": f"s{i}",
+        }
+
+    events = [
+        (k, td.encode_rows_event([mk(i) for i in range(k * 50, (k + 1) * 50)],
+                                 "write", used=used))
+        for k in range(10)
+    ]
+    df = spark.createDataFrame(events, "event_seq long, rows_event binary")
+    dec = decode_mysql_rows(df, td, keep_cols=("event_seq",), used=used)
+    return dec.select(
+        "event_seq",
+        "id",
+        "name",
+        "tag",
+        "code",
+        F.hex("body").alias("body_hex"),
+        F.col("price").cast("string").alias("price_s"),
+        F.col("d").cast("string").alias("d_s"),
+        "t",
+        "ts",
+        F.col("dtm").cast("string").alias("dtm_s"),
+        "y",
+        F.hex("flags").alias("flags_hex"),
+    )
+
+
+_MYSQL_ROW_IMAGE_SQL = """
+    SELECT (i // 50)::BIGINT AS event_seq,
+           i::BIGINT AS id,
+           repeat('n', i % 10) || i::VARCHAR AS name,
+           CASE WHEN i % 7 = 0 THEN NULL ELSE 't' || (i % 50)::VARCHAR END AS tag,
+           'c' || (i % 100)::VARCHAR AS code,
+           upper(lpad(to_hex((i * 2654435761) % 4294967296), 8, '0')) AS body_hex,
+           CASE WHEN i % 11 = 0 THEN NULL
+                ELSE (((i * 7919 - 1000000)::BIGINT * 0.0001)::DECIMAL(12,4))::VARCHAR
+           END AS price_s,
+           (DATE '2000-01-01' + (i * 3)::INT)::VARCHAR AS d_s,
+           ((i * 7919) % 86400)::INT AS t,
+           (1700000000 + i * 97)::BIGINT AS ts,
+           (TIMESTAMP '2001-01-01 00:00:00'
+               + (i * 100003) * INTERVAL 1 SECOND)::VARCHAR AS dtm_s,
+           (CASE WHEN i % 97 = 0 THEN 0 ELSE 1901 + (i % 150) END)::SMALLINT AS y,
+           upper(lpad(to_hex((i * 40503) % 65536), 4, '0')) AS flags_hex
+    FROM range(500) r(i)
+"""
+
+
 _MYSQL_TYPED_DECODE_SQL = """
     SELECT i AS seq, i::INT AS id,
            CASE WHEN i % 11 = 0 THEN NULL
@@ -1229,12 +1334,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 contract queries (the driver checks the first 50).
+
+    Round-3 curation (VERDICT r2 'Next round' #1): the 4 emb_* similarity
+    queries moved inside the checked window; 5 redundant queries RETIRED —
+    each is fully covered by a stronger checked query and by pytest:
+    - cdc_txn_boundaries   → cdc_txn_gated_batches (same census + the F5
+      batch-assignment invariant)
+    - cdc_row_decode       → cdc_binary_row_decode / cdc_mysql_typed_decode
+      / cdc_mysql_row_image (real packed decode vs a JSON regexp)
+    - doc_token_count      → n_tokens is a value-checked column of
+      doc_quality (same token_count() call)
+    - doc_fingerprint      → fp is the group key of doc_exact_dedup and a
+      checked intermediate of doc_keep_decision
+    - doc_minhash_signatures → mh0..7 feed doc_minhash_lsh_pairs /
+      doc_lsh_jaccard_verified directly (any signature error breaks their
+      band hashes)
+    The retired callables stay importable above (pytest drives them)."""
     return {
         "cdc_lww_final_state": q_lww_final_state,
         "cdc_salted_lww_final_state": q_salted_lww,
         "cdc_merge_final_state": q_merge_final_state,
         "cdc_merge_final_state_ignore_deletes": q_merge_final_state_ignore,
-        "cdc_txn_boundaries": q_txn_boundaries,
         "cdc_sessionization": q_sessionization,
         "cdc_hot_key_detection": q_hot_key_detection,
         "cdc_op_routing_counts": q_op_routing_counts,
@@ -1243,12 +1364,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_checkpoint_ledger": q_checkpoint_ledger,
         "cdc_heartbeat_positions": q_heartbeat_positions,
         "cdc_before_after_pairing": q_before_after_pairing,
-        "cdc_row_decode": q_row_decode,
         "cdc_resume_from_offset": q_resume_from_offset,
         "cdc_merge_into_base_join": q_merge_into_base_join,
         "cdc_engine_replay_final_state": q_engine_replay,
         "cdc_binary_row_decode": q_binary_row_decode,
         "cdc_mysql_typed_decode": q_mysql_typed_decode,
+        "cdc_mysql_row_image": q_mysql_row_image,
         "cdc_server_id_guard": q_server_id_guard,
         "cdc_intvar_capture": q_intvar_capture,
         "cdc_event_time_windows": q_event_time_windows,
@@ -1258,17 +1379,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_changelog": q_incremental_changelog,
         "cdc_exactly_once_redelivery": q_exactly_once_redelivery,
         "cdc_stream_stateful_lww": q_stream_stateful_lww,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_block_cosine_pairs": q_emb_block_cosine,
+        "emb_ann_lsh_topk": q_emb_ann_lsh,
+        "emb_lsh_block_cosine_pairs": q_emb_lsh_block_cosine,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_cosine_dedup_clusters": q_emb_cosine_dedup_clusters,
         "mm_image_meta": q_mm_image_meta,
         "mm_audio_features": q_mm_audio_features,
         "mm_video_frame_sample": q_mm_video_frame_sample,
         "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
         "doc_token_count_bpe": q_doc_token_count_bpe,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
-        "doc_minhash_signatures": q_doc_minhash,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard,
         "doc_lsh_jaccard_verified": q_doc_lsh_jaccard_verified,
@@ -1276,14 +1400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_topk": q_doc_vocab_topk,
         "doc_pii_redact": q_doc_pii_redact,
         "doc_keep_decision": q_doc_keep_decision,
-        "emb_cosine_dedup_clusters": q_emb_cosine_dedup_clusters,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_near_pairs": q_doc_simhash_pairs,
-        "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_block_cosine_pairs": q_emb_block_cosine,
-        "emb_ann_lsh_topk": q_emb_ann_lsh,
-        "emb_lsh_block_cosine_pairs": q_emb_lsh_block_cosine,
-        "emb_ivf_topk": q_emb_ivf_topk,
     }
 
 
@@ -1312,11 +1430,6 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY ts DESC, event_id DESC) AS rn
                   FROM (SELECT * FROM events WHERE {_OP_SQL} <> 'D'))
             WHERE rn = 1
-        """,
-        "cdc_txn_boundaries": """
-            SELECT floor(event_id/7)::BIGINT AS tx_id, count(*) AS n_events,
-                   min(event_id) AS first_pos, max(event_id) AS last_pos
-            FROM events GROUP BY 1
         """,
         "cdc_sessionization": """
             WITH flagged AS (
@@ -1380,11 +1493,6 @@ def oracle_sql() -> dict[str, str]:
                        value AS after_value
                 FROM events)
             WHERE op = 'U'
-        """,
-        "cdc_row_decode": r"""
-            SELECT event_id,
-                   TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
-            FROM events
         """,
         "cdc_resume_from_offset": """
             SELECT count(*) AS n_after, min(event_id) AS min_id,
@@ -1455,6 +1563,7 @@ def oracle_sql() -> dict[str, str]:
             FROM range(1000) t(i)
         """,
         "cdc_mysql_typed_decode": _MYSQL_TYPED_DECODE_SQL,
+        "cdc_mysql_row_image": _MYSQL_ROW_IMAGE_SQL,
         "cdc_event_time_windows": f"""
             SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                    {_OP_SQL} AS op, count(*) AS n_events
@@ -1579,13 +1688,6 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
-        "doc_token_count": r"""
-            SELECT doc_id,
-                   CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END
-                   AS n_tokens
-            FROM documents
-        """,
         "doc_quality": r"""
             SELECT doc_id,
                    length(text) AS n_chars_c,
@@ -1614,9 +1716,6 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS es
                   FROM documents)
         """,
-        "doc_fingerprint": f"""
-            SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
-        """,
         "doc_token_count_bpe": (
             "SELECT doc_id, len(regexp_extract_all(text, '"
             + BPE_PAT.replace("'", "''")
@@ -1631,10 +1730,6 @@ def oracle_sql() -> dict[str, str]:
                          t -> (length(t)::BIGINT * 96769 + ascii(t)) % 1000000007)),
                      (a, b) -> (a * 1000003 + b) % 1000000007) AS rfp
             FROM documents
-        """,
-        "doc_minhash_signatures": f"""
-            {_TOK_CTE}, {sig_sql}
-            SELECT * FROM sig
         """,
         "doc_minhash_lsh_pairs": f"""
             {_TOK_CTE}, {sig_sql},

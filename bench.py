@@ -42,14 +42,13 @@ HEADLINE = [
     "cdc_merge_final_state",
     "cdc_op_routing_counts",
     "cdc_checkpoint_ledger",
-    "cdc_row_decode",
     "doc_exact_dedup",
-    "doc_minhash_signatures",
+    "doc_minhash_lsh_pairs",
     "doc_quality",
     "doc_lang_id",
     "doc_simhash",
     "emb_cosine_topk",
-    "emb_block_cosine_pairs",
+    "emb_lsh_block_cosine_pairs",
 ]
 
 
