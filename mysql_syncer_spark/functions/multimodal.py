@@ -7,15 +7,18 @@ operators, partitioning, explode semantics.
 Codecs (round 2): **images are REAL PNG** — encoded and decoded by the
 pure numpy+zlib codec in ``png_codec.py`` (IHDR metadata probe without
 pixel inflate; full decode with all five scanline filters). The legacy
-synthetic ``IMG1`` raster remains accepted for old inputs. Audio/video
-stay synthetic-framed (no ffmpeg/soundfile in this container): PCM/frame
-math is real numpy, the container format is a self-describing header, and
-a real demuxer swaps in at ONE function per modality.
+synthetic ``IMG1`` raster remains accepted for old inputs. **Audio is
+REAL WAV** (round 3): RIFF/WAVE PCM16 encoded and chunk-walked by
+``encode_wav``/``parse_wav`` (pure struct, tolerates extra LIST/fact
+chunks); the legacy ``PCM1`` frame stays accepted. Video stays
+synthetic-framed (no ffmpeg in this container): frame math is real numpy,
+the container is a self-describing header, and a real demuxer swaps in at
+ONE function.
 
 Wire formats:
   image: PNG (RFC 2083 subset: 8-bit gray/RGB/RGBA), or legacy
          b"IMG1" + u16 w + u16 h + u8 channels + w*h*c payload bytes
-  audio: b"PCM1" + u32 sample_rate + s16le samples
+  audio: RIFF/WAVE PCM16 mono, or legacy b"PCM1" + u32 sr + s16le samples
   video: b"VID1" + u16 w + u16 h + u8 fps + u16 n_frames + frames
          (each frame = w*h bytes, grayscale)
 """
@@ -53,16 +56,57 @@ def make_image_bytes(media_id: int, w: int = 32, h: int = 24, c: int = 3) -> byt
     return encode_png(img)
 
 
+def encode_wav(samples: np.ndarray, sr: int, n_channels: int = 1) -> bytes:
+    """REAL RIFF/WAVE container (PCM16): RIFF header + canonical ``fmt ``
+    chunk + ``data`` chunk — any standard audio tool opens the output.
+    Pure struct packing, like the PNG codec: no audio libs needed."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sr * n_channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sr, byte_rate,
+        n_channels * 2, 16,
+    )
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    riff_len = 4 + len(fmt) + len(data)
+    return struct.pack("<4sI4s", b"RIFF", riff_len, b"WAVE") + fmt + data
+
+
+def parse_wav(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a PCM16 WAV: walk RIFF chunks (tolerating extra chunks like
+    LIST/fact before data). Returns (sample_rate, n_channels, samples)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos = 12
+    sr = n_channels = bits = None
+    pcm = None
+    while pos + 8 <= len(b):
+        cid, clen = struct.unpack_from("<4sI", b, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, n_channels, sr, _, _, bits = struct.unpack_from(
+                "<HHIIHH", b, body
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV supported")
+        elif cid == b"data":
+            pcm = b[body : body + clen]
+        pos = body + clen + (clen & 1)  # chunks are word-aligned
+    if sr is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return int(sr), int(n_channels), np.frombuffer(pcm, np.int16)
+
+
 def make_audio_bytes(media_id: int, sr: int = 16000, seconds: float = 0.25) -> bytes:
-    """Deterministic sawtooth PCM from PURE INTEGER arithmetic — unlike a
-    libm sine, every sample is exactly reproducible by any engine (the
-    DuckDB oracle rebuilds the identical buffer), while still exercising
-    real waveform feature math downstream."""
+    """Deterministic sawtooth PCM16 in a REAL WAV container. The waveform
+    is PURE INTEGER arithmetic — unlike a libm sine, every sample is
+    exactly reproducible by any engine (the DuckDB oracle rebuilds the
+    identical buffer), while still exercising real waveform feature math
+    downstream."""
     n = int(sr * seconds)
     i = np.arange(n, dtype=np.int64)
     freq = 220 + (media_id % 24) * 55
     wave = (((i * freq) % sr) * 24000 // sr - 12000).astype(np.int16)
-    return b"PCM1" + struct.pack("<I", sr) + wave.tobytes()
+    return encode_wav(wave, sr)
 
 
 def make_video_bytes(
@@ -186,10 +230,14 @@ def audio_features(df: DataFrame, bytes_col: str = "media", id_col: str = "media
         for pdf in batches:
             rows = []
             for b in pdf[bytes_col]:
-                if b[:4] != b"PCM1":
-                    raise ValueError("unknown audio format (no codec in container)")
-                (sr,) = struct.unpack_from("<I", b, 4)
-                samples = np.frombuffer(b, np.int16, offset=8)
+                b = bytes(b)
+                if b[:4] == b"RIFF":  # real WAV container
+                    sr, _, samples = parse_wav(b)
+                elif b[:4] == b"PCM1":  # legacy synthetic frames
+                    (sr,) = struct.unpack_from("<I", b, 4)
+                    samples = np.frombuffer(b, np.int16, offset=8)
+                else:
+                    raise ValueError("unknown audio format (WAV/PCM1 supported)")
                 rows.append(
                     (
                         sr,

@@ -54,7 +54,9 @@ def test_audio_features_match_numpy(spark):
     out = {r["media_id"]: r for r in audio_features(df).collect()}
     for i in range(8):
         raw = make_audio_bytes(i, sr=16000, seconds=0.25)
-        samples = np.frombuffer(raw, np.int16, offset=8)
+        from mysql_syncer_spark.functions.multimodal import parse_wav
+
+        _, _, samples = parse_wav(raw)
         expect_rms = round(float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))), 4)
         r = out[i]
         assert r["sample_rate"] == 16000
@@ -87,3 +89,49 @@ def test_unknown_format_raises(spark):
     with _pytest.raises(Exception) as ei:
         decode_image_meta(df).collect()
     assert "unknown image format" in str(ei.value)
+
+
+def test_wav_container_roundtrip_and_features(spark):
+    """make_audio_bytes now emits a REAL RIFF/WAVE PCM16 file: header
+    fields parse back exactly, Python's stdlib wave module opens it, and
+    audio_features over the WAV equals the legacy-PCM1 feature values."""
+    import io
+    import struct
+    import wave as wavmod
+
+    import numpy as np
+
+    from mysql_syncer_spark.functions.multimodal import (
+        audio_features,
+        encode_wav,
+        make_audio_bytes,
+        parse_wav,
+    )
+
+    b = make_audio_bytes(5)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    with wavmod.open(io.BytesIO(b)) as w:  # stdlib reader accepts it
+        assert w.getframerate() == 16000
+        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+        assert w.getnframes() == 4000
+    sr, nch, samples = parse_wav(b)
+    assert (sr, nch, len(samples)) == (16000, 1, 4000)
+
+    # chunk walk tolerates an extra chunk before data
+    head, rest = b[:12], b[12:]
+    extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    sr2, _, s2 = parse_wav(head + extra + rest)
+    assert sr2 == 16000 and np.array_equal(s2, samples)
+
+    # distributed features over WAV == legacy PCM1 features
+    legacy = b"PCM1" + struct.pack("<I", 16000) + samples.tobytes()
+    rows = [(0, b), (1, legacy)]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {r["media_id"]: r.asDict() for r in audio_features(df).collect()}
+    for k in ("sample_rate", "n_samples", "duration_s", "rms", "peak"):
+        assert got[0][k] == got[1][k], k
+
+    # stereo/odd-length chunks still roundtrip through encode_wav
+    st = encode_wav(np.arange(6, dtype=np.int16), 8000, n_channels=2)
+    sr3, nch3, s3 = parse_wav(st)
+    assert (sr3, nch3, list(s3)) == (8000, 2, [0, 1, 2, 3, 4, 5])
