@@ -88,6 +88,9 @@ class Manifest:
     # MoR knobs: read-side LWW keys + max delta vintages before compaction
     key_columns: list = None  # type: ignore[assignment]
     compact_threshold: int = 8
+    # JVM xxhash64 of xxhash.CANARY_KEY, captured at create: lookups verify
+    # the local hash twin against it before routing reads by a local bucket
+    xxh64_canary: int | None = None
 
     def __post_init__(self) -> None:
         if self.ledger_watermarks is None:
@@ -129,10 +132,20 @@ class PagesTable:
         key_columns: tuple[str, ...] = ("url",),
         compact_threshold: int = 8,
     ) -> "PagesTable":
+        from ..xxhash import CANARY_KEY
+
         os.makedirs(os.path.join(path, "_versions"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         t = cls(spark, path)
         schema = [list(x) for x in (schema or BASE_SCHEMA)]
+        # one tiny JVM job, once per table: the stored canary lets every
+        # future point lookup trust the LOCAL xxhash64 twin (no Spark job
+        # on the read path)
+        canary = int(
+            spark.createDataFrame([(CANARY_KEY,)], "k string")
+            .select(F.xxhash64("k").alias("h"))
+            .head()["h"]
+        )
         m = Manifest(
             version=0,
             num_buckets=num_buckets,
@@ -145,6 +158,7 @@ class PagesTable:
             metrics={},
             key_columns=list(key_columns),
             compact_threshold=compact_threshold,
+            xxh64_canary=canary,
         )
         t._commit(m)
         return t
@@ -325,23 +339,22 @@ class PagesTable:
         )
 
     def lookup(self, key_value) -> DataFrame:
-        """Point read by key: hash to the bucket, scan ONLY that bucket's
-        delta dirs (manifest-level pruning — the Iceberg partition-pruned
-        point lookup), LWW-merge its vintages, filter live. At any table
-        size the scan touches one bucket's files."""
-        m = self.manifest()
-        import pyspark.sql.functions as _F
+        """Point read by key: hash to the bucket LOCALLY (pure-Python
+        xxhash64 twin — no Spark job on the probe path; ~100 ms of driver
+        latency per read saved), scan ONLY that bucket's delta dirs
+        (manifest-level pruning — the Iceberg partition-pruned point
+        lookup), LWW-merge its vintages, filter live. At any table size
+        the scan touches one bucket's files."""
+        from ..xxhash import bucket_of, canary_hash
 
-        bucket = None
-        # compute the bucket with the SAME jvm hash the writer used
-        probe = self.spark.createDataFrame(
-            [(key_value,)], f"{m.key_columns[0]} string"
-        ).select(
-            _F.pmod(_F.xxhash64(*m.key_columns), _F.lit(m.num_buckets))
-            .cast("int")
-            .alias("b")
-        )
-        bucket = probe.head()["b"]
+        m = self.manifest()
+        stored = getattr(m, "xxh64_canary", None)
+        if stored is not None and int(stored) != canary_hash():
+            raise RuntimeError(
+                "local xxhash64 twin disagrees with the JVM canary stored "
+                "at table create — refusing to route a point read"
+            )
+        bucket = bucket_of([key_value], m.num_buckets)
         raw = self._read_buckets(m, [int(bucket)])
         if raw is None:
             fields = ", ".join(f"`{n}` {t}" for n, t in m.schema)
