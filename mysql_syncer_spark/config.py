@@ -44,10 +44,25 @@ class TableConfig:
     salt_threshold_share: float = 0.05
     salt_min_rows: int = 50_000
     salt_buckets: int = 16
+    # Probe policy for the keys-only per-bucket stats pass:
+    #   "always" — run it for every batch (exact planner input, one extra
+    #              column-pruned job per batch);
+    #   "auto"   — run it for the FIRST batch of a pipelined stream and
+    #              whenever the free observe()-based duplicate-share signal
+    #              moves more than salt_reprobe_delta since the last probe;
+    #              between probes the previous salting decision carries
+    #              (skew in a CDC stream is persistent — hot domains);
+    #   "never"  — trust observe() only, never salt proactively.
+    # Single-batch apply_batch always probes under "always"/"auto" (it has
+    # no stream state to amortize against).
+    skew_probe: str = "auto"
+    salt_reprobe_delta: float = 0.10
 
     def __post_init__(self) -> None:
         if self.on_delete not in ("delete", "ignore"):
             raise ValueError(f"on_delete must be delete|ignore, got {self.on_delete}")
+        if self.skew_probe not in ("always", "auto", "never"):
+            raise ValueError(f"skew_probe must be always|auto|never, got {self.skew_probe}")
 
 
 # Default registry — the analogue of rs_register_tables.c:6-9.

@@ -424,7 +424,12 @@ class PagesTable:
         mark("ddl_collect")
 
         delta = self._write_batch_delta(
-            row_events, cfg, dict(m.column_mapping), m.num_buckets, mark
+            row_events,
+            cfg,
+            dict(m.column_mapping),
+            m.num_buckets,
+            mark,
+            carry_salted=False if cfg.skew_probe == "never" else None,
         )
         res = self._commit_batch(m, bid, delta, n_ddl, t0, mark)
         if profile:
@@ -443,9 +448,15 @@ class PagesTable:
         n_ddl: int,
         t0: float,
         mark=lambda label: None,
+        inline_compact: bool = True,
     ) -> dict:
         """Register a written delta + run threshold compaction + commit the
-        manifest atomically (ledger + lineage + schema in one rename)."""
+        manifest atomically (ledger + lineage + schema in one rename).
+        ``inline_compact=False`` (pipelined mode) skips the synchronous
+        fold — the caller runs compaction ASYNCHRONOUSLY and folds its
+        result into a later ordered commit (Iceberg's async
+        rewrite_data_files shape), so the table-sized merge never sits in
+        the serial commit path."""
         new_dirs, lineage_rows = delta["new_dirs"], delta["lineage_rows"]
         rows_in_batch = sum(lineage_rows.values())
         m.version += 1
@@ -459,9 +470,11 @@ class PagesTable:
         # stays O(batch). Rows are already transformed — extraction never
         # re-runs at compaction.
         over = [b for b, lst in m.buckets.items() if len(lst) > m.compact_threshold]
-        if over:
+        if over and inline_compact:
             self._compact_buckets(m, over, bid)
             mark("compaction")
+        elif not inline_compact:
+            over = []
         m.committed_batches.append(bid)
         # inline ledger fold: contiguous numeric ids collapse into the
         # prefix watermark ON EVERY COMMIT, so the manifest stays
@@ -481,6 +494,8 @@ class PagesTable:
             "merge_ms": int((time.time() - t0) * 1000),
             "salted_merge": bool(delta["use_salted"]),
             "max_key_rows": delta["max_key_rows"],
+            "skew_probed": bool(delta.get("skew_probed", True)),
+            "dup_share": delta.get("dup_share", 0.0),
             "compacted_buckets": len(over),
         }
         self._commit(m)
@@ -519,38 +534,133 @@ class PagesTable:
         ddl_index = ddl_index or {}
         results: list[dict] = []
         inflight: list[tuple[str, list[dict], float, object]] = []
+        # Adaptive skew planner state (cfg.skew_probe="auto"): the first
+        # batches probe exactly; afterwards the decision carries and each
+        # batch's observe() signal is free. A duplicate-share move of more
+        # than salt_reprobe_delta since the last probe triggers a re-probe
+        # (signal EDGES, not level — a stable-dup-share stream never pays
+        # the probe again; a hot-key flood moves the share and gets the
+        # exact per-bucket check within ~depth batches).
+        planner = {
+            "last_probe_share": None,
+            "latest_share": None,
+            "salted": False,
+            "probe_inflight": False,
+        }
+
+        def carry_for_submit() -> bool | None:
+            if cfg.skew_probe == "always":
+                return None
+            if cfg.skew_probe == "never":
+                return planner["salted"]
+            if planner["last_probe_share"] is None:
+                # exactly ONE startup probe; batches submitted while it is
+                # still in flight run optimistically unsalted (correct
+                # either way) instead of paying depth probes
+                if planner["probe_inflight"]:
+                    return False
+                planner["probe_inflight"] = True
+                return None
+            if (
+                planner["latest_share"] is not None
+                and abs(planner["latest_share"] - planner["last_probe_share"])
+                > cfg.salt_reprobe_delta
+                and not planner["probe_inflight"]
+            ):
+                planner["probe_inflight"] = True
+                return None  # signal moved → re-probe
+            return planner["salted"]
+
+        # Async threshold compaction (Iceberg async rewrite_data_files):
+        # the table-sized fold never sits in the serial commit path — it
+        # runs on a maintenance thread over a FROZEN vintage snapshot and
+        # its result folds into a later ordered commit. Vintage count can
+        # exceed compact_threshold by the batches that land while a fold
+        # is in flight — still bounded.
+        compaction: dict = {"fut": None}
+        maintenance = ThreadPoolExecutor(max_workers=1)
+
+        def fold_compaction_if_ready(bid: str) -> None:
+            fut = compaction["fut"]
+            if fut is None or not fut.done():
+                return
+            snapshot, cdirs, crows = fut.result()
+            compaction["fut"] = None
+            for b, old in snapshot.items():
+                if b not in cdirs:
+                    continue
+                tail = [x for x in m.buckets.get(b, []) if x not in old]
+                m.buckets[b] = [cdirs[b]] + tail
+                m.lineage[b] = {"batch_id": bid, "rows": crows.get(b, 0)}
+
+        def schedule_compaction_if_needed() -> None:
+            if compaction["fut"] is not None:
+                return
+            over = [
+                b for b, lst in m.buckets.items() if len(lst) > m.compact_threshold
+            ]
+            if over:
+                frozen = Manifest.from_json(m.to_json())
+                compaction["fut"] = maintenance.submit(
+                    self._compact_compute, frozen, over
+                )
 
         def commit_head() -> None:
             bid, ddls, t0, fut = inflight.pop(0)
             delta = fut.result()
+            if delta.get("skew_probed"):
+                planner["last_probe_share"] = delta["dup_share"]
+                planner["salted"] = delta["use_salted"]
+                planner["probe_inflight"] = False
+            planner["latest_share"] = delta["dup_share"]
             for d in ddls:  # buffered: manifest mutates with ITS commit
                 self._apply_ddl(m, d)
-            results.append(self._commit_batch(m, bid, delta, len(ddls), t0))
+            fold_compaction_if_ready(bid)
+            results.append(
+                self._commit_batch(m, bid, delta, len(ddls), t0, inline_compact=False)
+            )
+            schedule_compaction_if_needed()
 
-        with ThreadPoolExecutor(max_workers=depth) as ex:
-            for batch_id, events in batches:
-                bid = str(batch_id)
-                if self._is_committed(m, bid):
-                    results.append(
-                        {"batch_id": bid, "skipped": True, "reason": "already committed"}
+        try:
+            with ThreadPoolExecutor(max_workers=depth) as ex:
+                for batch_id, events in batches:
+                    bid = str(batch_id)
+                    if self._is_committed(m, bid):
+                        results.append(
+                            {"batch_id": bid, "skipped": True, "reason": "already committed"}
+                        )
+                        continue
+                    ddls = ddl_index.get(bid, [])
+                    for d in ddls:
+                        self._apply_ddl(plan_m, d)
+                    events = op_filter(
+                        oversized_ddl_filter(table_filter(events, [cfg.name]))
                     )
-                    continue
-                ddls = ddl_index.get(bid, [])
-                for d in ddls:
-                    self._apply_ddl(plan_m, d)
-                events = op_filter(
-                    oversized_ddl_filter(table_filter(events, [cfg.name]))
-                )
-                mapping = dict(plan_m.column_mapping)
-                t0 = time.time()
-                fut = ex.submit(
-                    self._write_batch_delta, events, cfg, mapping, m.num_buckets
-                )
-                inflight.append((bid, ddls, t0, fut))
-                while len(inflight) >= depth:
+                    mapping = dict(plan_m.column_mapping)
+                    t0 = time.time()
+                    fut = ex.submit(
+                        self._write_batch_delta,
+                        events,
+                        cfg,
+                        mapping,
+                        m.num_buckets,
+                        carry_salted=carry_for_submit(),
+                    )
+                    inflight.append((bid, ddls, t0, fut))
+                    while len(inflight) >= depth:
+                        commit_head()
+                while inflight:
                     commit_head()
-            while inflight:
-                commit_head()
+            # drain: a pending fold commits as its own maintenance version
+            # so the work is never thrown away
+            while compaction["fut"] is not None:
+                compaction["fut"].result()
+                m.version += 1
+                fold_compaction_if_ready(f"compact-v{m.version}")
+                self._commit(m)
+                schedule_compaction_if_needed()
+        finally:
+            maintenance.shutdown(wait=True)
         return results
 
     def _bucket_merge(
@@ -599,46 +709,69 @@ class PagesTable:
         column_mapping: dict[str, str],
         num_buckets: int,
         mark=lambda label: None,
+        carry_salted: bool | None = None,
     ) -> dict:
         """Build and write ONE batch's delta (merge-on-read unit of work).
         Pure with respect to the manifest — takes a mapping snapshot, so
         several batches can run concurrently (apply_batches_pipelined);
-        the caller serializes manifest mutation + commit."""
+        the caller serializes manifest mutation + commit.
+
+        Skew planning (D2): with ``carry_salted=None`` a keys-only probe
+        job runs first — Catalyst prunes the scan to the key/op columns,
+        per-bucket count + HLL distinct partial-combine map-side, and
+        (rows - distinct_keys) per bucket upper-bounds the duplicate mass
+        one flooded key can contribute there. With ``carry_salted`` set
+        (pipelined streams between probe points) the probe job is SKIPPED
+        entirely: the carried decision drives the merge, and exact
+        events_in plus a global duplicate-share signal come for FREE from
+        an ``observe`` node evaluated by the write job itself — the
+        per-batch serial floor drops by one full scan."""
+        from pyspark.sql import Observation
+
         batch_state = batch_to_state(row_events, column_mapping, cfg.on_delete)
         bucket_col = F.pmod(
             F.xxhash64(*cfg.key_columns), F.lit(num_buckets)
         ).cast("int")
         wb = batch_state.withColumn("_bucket", bucket_col)
 
-        # Light keys-only pass: Catalyst prunes the scan to the key/op
-        # columns (no payload bytes move); per-bucket count + HLL distinct
-        # keys partial-combine map-side, so the shuffle carries only
-        # num_buckets rows. The same pass feeds the skew planner (D2):
-        # (rows - distinct_keys) in one bucket upper-bounds the duplicate
-        # mass a single flooded key can contribute there — an exact per-key
-        # max would need a full keys shuffle, measurably slowing every
-        # batch to detect a rare condition.
-        stats = (
-            wb.groupBy("_bucket")
-            .agg(
+        probed = carry_salted is None
+        if probed:
+            stats = (
+                wb.groupBy("_bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.approx_count_distinct(F.xxhash64(*cfg.key_columns)).alias("nk"),
+                )
+                .collect()
+            )
+            events_in = int(sum(r["n"] for r in stats))
+            max_key_rows = int(
+                max((r["n"] - min(r["nk"], r["n"]) + 1 for r in stats), default=0)
+            )
+            use_salted = (
+                events_in >= cfg.salt_min_rows
+                and max_key_rows >= cfg.salt_threshold_share * events_in
+            )
+            dup_share = (
+                (events_in - sum(min(r["nk"], r["n"]) for r in stats)) / events_in
+                if events_in
+                else 0.0
+            )
+            mark("key_stats")
+        else:
+            use_salted = bool(carry_salted)
+            obs = Observation()
+            wb = wb.observe(
+                obs,
                 F.count(F.lit(1)).alias("n"),
                 F.approx_count_distinct(F.xxhash64(*cfg.key_columns)).alias("nk"),
             )
-            .collect()
-        )
-        events_in = int(sum(r["n"] for r in stats))
-        max_key_rows = int(
-            max((r["n"] - min(r["nk"], r["n"]) + 1 for r in stats), default=0)
-        )
-        use_salted = (
-            events_in >= cfg.salt_min_rows
-            and max_key_rows >= cfg.salt_threshold_share * events_in
-        )
-        mark("key_stats")
 
         new_dirs: dict[str, str] = {}
         lineage_rows: dict[str, int] = {}
-        if events_in:
+        if probed and not events_in:
+            pass  # heartbeat batch: no write job at all
+        else:
             merged = self._bucket_merge(
                 wb, list(cfg.key_columns), use_salted, cfg.salt_buckets
             )
@@ -646,12 +779,21 @@ class PagesTable:
                 merged = cfg.transform(merged)
             new_dirs, lineage_rows = self._write_snapshot(merged)
             mark("merge_write")
+        if not probed:
+            got = obs.get
+            events_in = int(got["n"])
+            nk = min(int(got["nk"]), events_in)
+            # global duplicate mass bounds any single bucket's from above
+            max_key_rows = (events_in - nk + 1) if events_in else 0
+            dup_share = (events_in - nk) / events_in if events_in else 0.0
         return {
             "new_dirs": new_dirs,
             "lineage_rows": lineage_rows,
             "events_in": events_in,
             "max_key_rows": max_key_rows,
             "use_salted": use_salted,
+            "skew_probed": probed,
+            "dup_share": round(dup_share, 4),
         }
 
     def _write_snapshot(
@@ -671,17 +813,30 @@ class PagesTable:
         }
         return dirs, self._footer_rowcounts(out)
 
+    def _compact_compute(
+        self, frozen: Manifest, bucket_ids: list[str]
+    ) -> tuple[dict[str, list[str]], dict[str, str], dict[str, int]]:
+        """Read the given buckets' vintages AS OF a frozen manifest, merge
+        to one file per bucket, write. Pure compute — mutates nothing;
+        returns (snapshot dirs folded, compacted dir per bucket, rows).
+        Safe to run concurrently with later delta writes: it touches only
+        the frozen vintage list, and LWW merge-on-read makes folding a
+        PREFIX of a bucket's vintages order-insensitive."""
+        snapshot = {b: list(frozen.buckets[b]) for b in bucket_ids}
+        cur = self._read_buckets(frozen, [int(b) for b in bucket_ids])
+        bucket_col = F.pmod(
+            F.xxhash64(*frozen.key_columns), F.lit(frozen.num_buckets)
+        ).cast("int")
+        compacted = self._bucket_merge(
+            cur.withColumn("_bucket", bucket_col), list(frozen.key_columns)
+        )
+        cdirs, crows = self._write_snapshot(compacted)
+        return snapshot, cdirs, crows
+
     def _compact_buckets(self, m: Manifest, over: list[str], bid: str) -> None:
         """Fold the given buckets' delta vintages into one file each.
         Mutates ``m`` in memory; the caller commits atomically."""
-        cur = self._read_buckets(m, [int(b) for b in over])
-        bucket_col = F.pmod(
-            F.xxhash64(*m.key_columns), F.lit(m.num_buckets)
-        ).cast("int")
-        compacted = self._bucket_merge(
-            cur.withColumn("_bucket", bucket_col), list(m.key_columns)
-        )
-        cdirs, crows = self._write_snapshot(compacted)
+        _, cdirs, crows = self._compact_compute(m, over)
         for b, d in cdirs.items():
             m.buckets[b] = [d]
             m.lineage[b] = {"batch_id": bid, "rows": crows.get(b, 0)}

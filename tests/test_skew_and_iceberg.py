@@ -155,3 +155,57 @@ def test_iceberg_golden_sql_edge_cases():
     create = build_create_sql("lake.t", [["url", "string"], ["extra_v2", "string"]], 8)
     assert create.count("_deleted boolean") == 1
     assert "PARTITIONED BY (bucket(8, url))" in create
+
+
+def test_adaptive_planner_skips_probe_between_edges(spark, tmp_path):
+    """Pipelined auto mode: the first batches probe, a stable duplicate
+    share carries the decision with NO probe job (observe-only, exact
+    events_in), and a hot-key flood moves the share enough to force a
+    re-probe that flips the merge to salted."""
+    import datetime as dt
+
+    from mysql_syncer_spark.config import TableConfig
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+
+    schema = (
+        "log_pos long, file_seq int, server_id int, op string, table string,"
+        "tx_id long, before struct<url:string,warc_ts:timestamp,html:binary,"
+        "text:string,lang:string>, after struct<url:string,warc_ts:timestamp,"
+        "html:binary,text:string,lang:string>, ddl struct<kind:string,"
+        "col:string,new_name:string,dtype:string>"
+    )
+
+    def mk(seq, hot=False):
+        rows = []
+        for i in range(300):
+            url = (
+                "https://hot.example.com/" if hot and i % 2 == 0
+                else f"https://u{seq}-{i}.example.com/"
+            )
+            rows.append(
+                (seq * 1000 + i, seq, 1, "I", "web.pages", None, None,
+                 (url, dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+                  + dt.timedelta(seconds=i), b"<p>x</p>", None, "en"), None)
+            )
+        return spark.createDataFrame(rows, schema)
+
+    cfg = TableConfig(name="web.pages", salt_min_rows=100,
+                      salt_threshold_share=0.05, salt_buckets=4,
+                      skew_probe="auto", salt_reprobe_delta=0.10)
+    t = PagesTable.create(spark, str(tmp_path / "adaptive"), num_buckets=4)
+    # depth=1 so planner state updates before each next submit
+    batches = [(f"b-{k}", mk(k)) for k in range(3)] + [("b-3", mk(3, hot=True)), ("b-4", mk(4, hot=True))]
+    res = t.apply_batches_pipelined(batches, cfg=cfg, depth=1)
+    by_id = {r["batch_id"]: r for r in res}
+    assert by_id["b-0"]["skew_probed"] is True      # first batch probes
+    assert by_id["b-1"]["skew_probed"] is False     # stable share carries
+    assert by_id["b-2"]["skew_probed"] is False
+    assert by_id["b-3"]["skew_probed"] is False     # flood batch itself ran carried...
+    assert by_id["b-4"]["skew_probed"] is True      # ...its share moved → re-probe
+    assert by_id["b-4"]["salted_merge"] is True     # and the probe flips to salted
+    # events_in stays EXACT in observe-only batches
+    assert by_id["b-1"]["events_in"] == 300
+    # final state correct: 5*150-ish cold urls + hot winner
+    urls = {r["url"] for r in t.read().collect()}
+    assert "https://hot.example.com/" in urls
+    assert len(urls) == 3 * 300 + 2 * 150 + 1
