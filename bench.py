@@ -112,6 +112,66 @@ def sha2_ceiling(cores: int, n_rows: int = 20_000_000) -> dict:
     return _child("sha2", str(cores), str(n_rows))
 
 
+SF1_EVIDENCE_PATH = os.path.join(REPO, "BENCH", "sf1_r3.json")
+
+
+def _sf1_evidence(warm_dir: str, n_cores: int, n4_cores: int) -> dict | None:
+    """10M-event (sf1) replay evidence — the manifest/commit floor and the
+    planner at realistic batch counts. A full sf1 sweep costs ~15 min of
+    exclusive wall, so the default bench run EMBEDS the recorded in-repo
+    measurement (provenance inside); set SPARK_GRAFT_BENCH_SF1=1 to
+    re-measure live (results overwrite the recording)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1") != "1":
+        if os.path.exists(SF1_EVIDENCE_PATH):
+            with open(SF1_EVIDENCE_PATH) as f:
+                return json.load(f)
+        return None
+    sf1_events = 10_000_000
+    html_repeat = 8  # ~1 KB pages: 10 GB of raw page bytes at sf1
+    mk = lambda files: ensure_event_log(
+        sf1_events,
+        html_repeat=html_repeat,
+        events_per_file=sf1_events // files if files > 1 else None,
+        row_group_rows=50_000,
+    )
+    d40, d20, d1 = mk(40), mk(20), mk(1)
+    hi40 = replay_at(n4_cores, d40, warm_dir, depth=4)
+    lo40 = replay_at(n_cores, d40, warm_dir, depth=4)
+    hi20 = replay_at(n4_cores, d20, warm_dir, depth=4)
+    hi1 = replay_at(n4_cores, d1, warm_dir)
+    speedup = round(hi40["events_per_sec"] / lo40["events_per_sec"], 3)
+    out = {
+        "n_events": sf1_events,
+        "html_repeat": html_repeat,
+        "mode": "measured live by SPARK_GRAFT_BENCH_SF1=1; embedded verbatim "
+        "on later bench runs (see BENCH/BASELINE.md)",
+        "reproduce": "SPARK_GRAFT_BENCH_SF1=1 python bench.py",
+        "cores_n": n_cores,
+        "cores_4n": n4_cores,
+        "multi_batch_40_files": {
+            "wall_sec_n": lo40["wall_sec"],
+            "wall_sec_4n": hi40["wall_sec"],
+            "events_per_sec_n": lo40["events_per_sec"],
+            "events_per_sec_4n": hi40["events_per_sec"],
+            "speedup_n_to_4n": speedup,
+            "scaling_efficiency_n_to_4n": round(speedup / 4, 3),
+        },
+        "single_batch_wall_sec_4n": hi1["wall_sec"],
+        "per_batch_overhead_trendline_4n": {
+            "batches_20": round(
+                max(0.0, hi20["wall_sec"] - hi1["wall_sec"]) / 20, 2
+            ),
+            "batches_40": round(
+                max(0.0, hi40["wall_sec"] - hi1["wall_sec"]) / 40, 2
+            ),
+        },
+    }
+    os.makedirs(os.path.dirname(SF1_EVIDENCE_PATH), exist_ok=True)
+    with open(SF1_EVIDENCE_PATH, "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -143,51 +203,50 @@ def main() -> None:
     # ceiling. Levels default to 1 vs 4 — the widest spread that still has
     # hardware headroom here (see BENCH/BASELINE.md) — override with
     # SPARK_GRAFT_BENCH_N.
+    #
+    # Sampling protocol (fixed, round-3): a FIXED number of fresh-JVM runs
+    # per level (SPARK_GRAFT_BENCH_ROUNDS, default 3), levels interleaved
+    # so the shared host's steal bursts hit both. The HEADLINE efficiency
+    # is computed from per-level MEDIANS (an unconditioned estimator);
+    # best-of is also reported as evidence. The round-2 protocol resampled
+    # only while efficiency < 0.8 — a stopping rule conditioned on the
+    # pass criterion that biased best-of upward; it is gone.
     event_dir = ensure_event_log(BENCH_EVENTS)
     warm_dir = ensure_event_log(50_000, html_repeat=4)
     n_cores = int(os.environ.get("SPARK_GRAFT_BENCH_N", "1"))
     n4_cores = 4 * n_cores
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
-    # ALTERNATE levels across repeated fresh-JVM runs and keep each level's
-    # best: the shared host's steal bursts last minutes, so interleaving
-    # pairs the noise windows instead of letting one level eat them all.
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     ceil_lo = sha2_ceiling(n_cores)
     ceil_hi = sha2_ceiling(n4_cores)
     lo_runs, hi_runs = [], []
     for _ in range(rounds):
         lo_runs.append(replay_at(n_cores, event_dir, warm_dir))
         hi_runs.append(replay_at(n4_cores, event_dir, warm_dir))
-    # one extra 4N attempt: it is cheap and the wider run is the more
-    # noise-sensitive one on this host
-    hi_runs.append(replay_at(n4_cores, event_dir, warm_dir))
 
-    def _eff() -> tuple[dict, dict, float, float, float | None]:
-        lo = min(lo_runs, key=lambda r: r["wall_sec"])
-        hi = min(hi_runs, key=lambda r: r["wall_sec"])
-        ceiling = round(ceil_lo["wall_sec"] / ceil_hi["wall_sec"], 3)
-        spd = round(hi["events_per_sec"] / lo["events_per_sec"], 3)
-        return lo, hi, spd, round(spd / 4, 3), (
-            round(spd / ceiling, 3) if ceiling else None
-        )
+    def _median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        mid = len(xs) // 2
+        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
 
-    # Adaptive de-noising: the host is shared/oversubscribed with steal
-    # bursts that last minutes. If neither raw nor ceiling-normalized
-    # efficiency clears the 0.8 target, take up to 2 more best-of samples
-    # per level before accepting the measurement (protocol documented in
-    # BENCH/BASELINE.md; every attempt's wall is reported as evidence).
-    lo, hi, speedup, eff, eff_norm = _eff()
-    extra = 0
-    while max(eff, eff_norm or 0) < 0.8 and extra < 2:
-        lo_runs.append(replay_at(n_cores, event_dir, warm_dir))
-        hi_runs.append(replay_at(n4_cores, event_dir, warm_dir))
-        lo, hi, speedup, eff, eff_norm = _eff()
-        extra += 1
     ceiling_speedup = round(ceil_lo["wall_sec"] / ceil_hi["wall_sec"], 3)
+    lo_med = _median([r["wall_sec"] for r in lo_runs])
+    hi_med = _median([r["wall_sec"] for r in hi_runs])
+    speedup = round(lo_med / hi_med, 3)  # median-based, the headline
+    eff = round(speedup / 4, 3)
+    eff_norm = round(speedup / ceiling_speedup, 3) if ceiling_speedup else None
+    lo_best = min(lo_runs, key=lambda r: r["wall_sec"])
+    hi_best = min(hi_runs, key=lambda r: r["wall_sec"])
+    speedup_best = round(hi_best["events_per_sec"] / lo_best["events_per_sec"], 3)
+    # representative runs at the median wall for throughput reporting
+    lo = min(lo_runs, key=lambda r: abs(r["wall_sec"] - lo_med))
+    hi = min(hi_runs, key=lambda r: abs(r["wall_sec"] - hi_med))
 
     # ---- part 3: HONEST multi-batch replay (real rotation cadence) -----
     # 20 binlog files → 20 commits: includes the per-batch serial floor the
     # single-batch mode excludes. Pipelined delta writes (merge-on-read)
-    # overlap that floor across batches; one run per level.
+    # overlap that floor across batches; one run per level. The overhead
+    # baseline is a single-batch run over the SAME event count and the
+    # SAME row-group size (round-2 subtracted a different-shaped run).
     mb_events = min(BENCH_EVENTS, 1_000_000)
     mb_dir = ensure_event_log(
         mb_events,
@@ -195,8 +254,12 @@ def main() -> None:
         events_per_file=mb_events // 20,
         row_group_rows=10_000,
     )
+    mb_single_dir = ensure_event_log(
+        mb_events, html_repeat=BENCH_HTML_REPEAT, row_group_rows=10_000
+    )
     mb_lo = replay_at(n_cores, mb_dir, warm_dir, depth=4)
     mb_hi = replay_at(n4_cores, mb_dir, warm_dir, depth=4)
+    mb_single_hi = replay_at(n4_cores, mb_single_dir, warm_dir)
     mb_speedup = round(mb_hi["events_per_sec"] / mb_lo["events_per_sec"], 3)
 
     print(
@@ -219,6 +282,10 @@ def main() -> None:
                     "scaling_efficiency_n_to_4n": eff,
                     "hardware_ceiling_speedup_sha2": ceiling_speedup,
                     "efficiency_vs_hardware_ceiling": eff_norm,
+                    "estimator": "median of fixed rounds (unconditioned)",
+                    "rounds_per_level": rounds,
+                    "speedup_best_of": speedup_best,
+                    "scaling_efficiency_best_of": round(speedup_best / 4, 3),
                     # noise evidence: every attempt's wall (shared host —
                     # see BENCH/BASELINE.md)
                     "all_wall_sec_n": [r["wall_sec"] for r in lo_runs],
@@ -234,14 +301,16 @@ def main() -> None:
                     "wall_sec_4n": mb_hi["wall_sec"],
                     "speedup_n_to_4n": mb_speedup,
                     "scaling_efficiency_n_to_4n": round(mb_speedup / 4, 3),
-                    # multi-batch wall minus the single-batch wall at the
-                    # same level = total per-batch overhead actually paid
+                    # multi-batch wall minus a single-batch wall over the
+                    # SAME events and row-group size = per-batch overhead
+                    "single_batch_same_shape_wall_sec_4n": mb_single_hi["wall_sec"],
                     "per_batch_overhead_sec_4n": round(
-                        max(0.0, mb_hi["wall_sec"] - hi["wall_sec"])
+                        max(0.0, mb_hi["wall_sec"] - mb_single_hi["wall_sec"])
                         / mb_hi["n_batches"],
                         2,
                     ),
                 },
+                "replay_sf1": _sf1_evidence(warm_dir, n_cores, n4_cores),
             }
         )
     )
