@@ -10,10 +10,14 @@ pixel inflate; full decode with all five scanline filters). The legacy
 synthetic ``IMG1`` raster remains accepted for old inputs. **Audio is
 REAL WAV** (round 3): RIFF/WAVE PCM16 encoded and chunk-walked by
 ``encode_wav``/``parse_wav`` (pure struct, tolerates extra LIST/fact
-chunks); the legacy ``PCM1`` frame stays accepted. Video stays
-synthetic-framed (no ffmpeg in this container): frame math is real numpy,
-the container is a self-describing header, and a real demuxer swaps in at
-ONE function.
+chunks); the legacy ``PCM1`` frame stays accepted. **JPEG and WebP
+metadata probes are REAL** (round 3): ``jpeg_meta`` walks T.81 marker
+segments to the SOF frame header, ``webp_meta`` walks RIFF chunks to
+VP8/VP8L/VP8X — real camera/web files yield (width, height, channels)
+without any codec lib; their PIXEL decode stays gated behind PIL
+(entropy/DCT decode needs a codec). Video stays synthetic-framed (no
+ffmpeg in this container): frame math is real numpy, the container is a
+self-describing header, and a real demuxer swaps in at ONE function.
 
 Wire formats:
   image: PNG (RFC 2083 subset: 8-bit gray/RGB/RGBA), or legacy
@@ -130,30 +134,104 @@ IMAGE_META = T.StructType(
     ]
 )
 
+# SOF0..SOF15 carry the frame header; 0xC4/0xC8/0xCC are DHT/JPG/DAC.
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_meta(b: bytes) -> tuple[int, int, int]:
+    """Metadata probe for REAL JPEG files (ITU T.81 §B.2): walk the marker
+    segments from SOI to the first SOF frame header and read precision-free
+    (height, width, n_components). Handles fill bytes, standalone markers
+    (RST/TEM), and both baseline (SOF0) and progressive (SOF2) frames —
+    i.e. any camera/web JPEG. Entropy decode is NOT attempted (no DCT lib
+    in this container); only the header is read, so the probe is O(header)
+    regardless of image size — the right cost model for a 100 TB scan."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos, n = 2, len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        while b[pos + 1] == 0xFF and pos + 2 < n:  # fill bytes
+            pos += 1
+        marker = b[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", b, pos + 2)
+        if marker in _JPEG_SOF:
+            _precision, h, w, ncomp = struct.unpack_from(">BHHB", b, pos + 4)
+            return w, h, ncomp
+        if marker == 0xDA:  # SOS: entropy data follows; SOF must precede it
+            break
+        pos += 2 + seg_len
+    raise ValueError("JPEG has no SOF frame header")
+
+
+def webp_meta(b: bytes) -> tuple[int, int, int]:
+    """Metadata probe for REAL WebP files: RIFF chunk walk to the first of
+    VP8 (lossy: 14-bit dims after the 9D 01 2A sync code), VP8L (lossless:
+    0x2F signature then 14+14-bit minus-one dims + alpha flag), or VP8X
+    (extended: 24-bit minus-one canvas + alpha flag). Pixel decode is not
+    attempted (arithmetic/Huffman coding needs a codec lib)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WebP (missing RIFF/WEBP header)")
+    pos = 12
+    while pos + 8 <= len(b):
+        cid, clen = struct.unpack_from("<4sI", b, pos)
+        body = pos + 8
+        if cid == b"VP8 " and b[body + 3 : body + 6] == b"\x9d\x01\x2a":
+            w, h = struct.unpack_from("<HH", b, body + 6)
+            return w & 0x3FFF, h & 0x3FFF, 3
+        if cid == b"VP8L" and b[body] == 0x2F:
+            (bits,) = struct.unpack_from("<I", b, body + 1)
+            alpha = (bits >> 28) & 1
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, 4 if alpha else 3
+        if cid == b"VP8X":
+            flags = b[body]
+            w = int.from_bytes(b[body + 4 : body + 7], "little") + 1
+            h = int.from_bytes(b[body + 7 : body + 10], "little") + 1
+            return w, h, 4 if flags & 0x10 else 3
+        pos = body + clen + (clen & 1)  # chunks are word-aligned
+    raise ValueError("WebP missing VP8/VP8L/VP8X chunk")
+
 
 def _decode_image_header(b: bytes) -> tuple[int, int, int]:
     from .png_codec import PNG_SIG, png_meta
 
-    if bytes(b[:8]) == PNG_SIG:
+    b = bytes(b)
+    if b[:8] == PNG_SIG:
         w, h, c, _ = png_meta(b)  # IHDR probe — no pixel inflate
         return w, h, c
+    if b[:2] == b"\xff\xd8":  # real JPEG — marker walk to SOF
+        return jpeg_meta(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":  # real WebP
+        return webp_meta(b)
     if b[:4] == b"IMG1":  # legacy synthetic raster
         w, h, c = struct.unpack_from("<HHB", b, 4)
         return w, h, c
-    if HAVE_PIL:  # pragma: no cover — real path for other formats
-        raise NotImplementedError("non-PNG image decode: wire PIL here")
-    raise ValueError("unknown image format (PNG and IMG1 supported)")
+    raise ValueError("unknown image format (PNG/JPEG/WebP/IMG1 supported)")
 
 
 def _decode_image_pixels(b: bytes) -> np.ndarray:
     from .png_codec import PNG_SIG, decode_png
 
-    if bytes(b[:8]) == PNG_SIG:
+    b = bytes(b)
+    if b[:8] == PNG_SIG:
         return decode_png(b)
     if b[:4] == b"IMG1":
         w, h, c = struct.unpack_from("<HHB", b, 4)
         return np.frombuffer(b, np.uint8, w * h * c, offset=9).reshape(h, w, c)
-    raise ValueError("unknown image format (PNG and IMG1 supported)")
+    if b[:2] == b"\xff\xd8" or (b[:4] == b"RIFF" and b[8:12] == b"WEBP"):
+        if HAVE_PIL:  # pragma: no cover — real decode when a codec lib exists
+            import io
+
+            return np.asarray(_pil.open(io.BytesIO(b)))
+        raise NotImplementedError(
+            "JPEG/WebP pixel decode needs a codec lib (PIL absent in this "
+            "container); the metadata probe works without it"
+        )
+    raise ValueError("unknown image format (PNG/JPEG/WebP/IMG1 supported)")
 
 
 def decode_image_meta(df: DataFrame, bytes_col: str = "media", id_col: str = "media_id") -> DataFrame:

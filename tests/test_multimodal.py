@@ -135,3 +135,79 @@ def test_wav_container_roundtrip_and_features(spark):
     st = encode_wav(np.arange(6, dtype=np.int16), 8000, n_channels=2)
     sr3, nch3, s3 = parse_wav(st)
     assert (sr3, nch3, list(s3)) == (8000, 2, [0, 1, 2, 3, 4, 5])
+
+
+# ---------------------------------------------------------------------------
+# real JPEG / WebP metadata probes (round 3) — handcrafted spec-exact files
+# ---------------------------------------------------------------------------
+
+import struct
+
+from mysql_syncer_spark.functions.multimodal import jpeg_meta, webp_meta
+
+
+def _make_jpeg(w, h, ncomp=3, sof_marker=0xC0, fill_bytes=0):
+    """Spec-exact JPEG header stream (ITU T.81 §B.2): SOI, APP0/JFIF, DQT,
+    SOF, DHT, SOS + dummy entropy data + EOI — the same marker skeleton any
+    camera emits; only the entropy payload is dummy."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    comps = b"".join(struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp))
+    sof = bytes([0xFF, sof_marker]) + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + comps
+    dht = b"\xff\xc4" + struct.pack(">H", 19) + b"\x00" + bytes(16) + b"\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp) + bytes([ncomp]) + b"".join(
+        struct.pack(">BB", i + 1, 0) for i in range(ncomp)
+    ) + b"\x00\x3f\x00"
+    return b"\xff\xd8" + app0 + dqt + b"\xff" * fill_bytes + sof + dht + sos + b"\x12\x34" + b"\xff\xd9"
+
+
+def test_jpeg_meta_baseline_progressive_gray():
+    assert jpeg_meta(_make_jpeg(640, 480)) == (640, 480, 3)
+    assert jpeg_meta(_make_jpeg(1920, 1080, sof_marker=0xC2)) == (1920, 1080, 3)  # progressive
+    assert jpeg_meta(_make_jpeg(33, 7, ncomp=1)) == (33, 7, 1)  # grayscale
+    assert jpeg_meta(_make_jpeg(12, 34, fill_bytes=3)) == (12, 34, 3)  # FF fill bytes
+    import pytest
+
+    with pytest.raises(ValueError):
+        jpeg_meta(b"\xff\xd8" + b"\xff\xda\x00\x04\x01\x00")  # SOS before any SOF
+
+
+def _make_webp_vp8l(w, h, alpha=0):
+    bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+    body = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 3
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _make_webp_vp8(w, h):
+    body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + b"\x00" * 4
+    chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _make_webp_vp8x(w, h, alpha=1):
+    body = bytes([0x10 if alpha else 0x00]) + b"\x00" * 3 + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_webp_meta_all_three_chunk_kinds():
+    assert webp_meta(_make_webp_vp8l(800, 600)) == (800, 600, 3)
+    assert webp_meta(_make_webp_vp8l(16383, 1, alpha=1)) == (16383, 1, 4)  # 14-bit max dim
+    assert webp_meta(_make_webp_vp8(320, 240)) == (320, 240, 3)
+    assert webp_meta(_make_webp_vp8x(4000, 3000)) == (4000, 3000, 4)
+    assert webp_meta(_make_webp_vp8x(1, 1, alpha=0)) == (1, 1, 3)
+
+
+def test_image_meta_mixed_formats_one_pass(spark):
+    """decode_image_meta handles a heterogeneous binary column — PNG next
+    to real-format JPEG and WebP rows in the same Arrow batch."""
+    rows = [
+        (0, make_image_bytes(0, w=32, h=24, c=3)),
+        (1, _make_jpeg(640, 480)),
+        (2, _make_webp_vp8l(100, 50)),
+        (3, _make_webp_vp8(320, 240)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = {r["media_id"]: (r["width"], r["height"], r["channels"]) for r in decode_image_meta(df).collect()}
+    assert out == {0: (32, 24, 3), 1: (640, 480, 3), 2: (100, 50, 3), 3: (320, 240, 3)}
