@@ -86,7 +86,7 @@ _FIXED_LEN = {
 }
 _SIGNED_INT = {"tiny": 1, "short": 2, "long": 4, "longlong": 8, "int24": 3}
 
-_COLTYPE_RE = re.compile(r"^([a-z]+)(?:\((\d+)(?:,\s*(\d+))?\))?$")
+_COLTYPE_RE = re.compile(r"^([a-z]+[0-9]*)(?:\((\d+)(?:,\s*(\d+))?\))?$")
 
 
 @dataclass(frozen=True)
