@@ -115,23 +115,90 @@ def sha2_ceiling(cores: int, n_rows: int = 20_000_000) -> dict:
 SF1_EVIDENCE_PATH = os.path.join(REPO, "BENCH", "sf1_r3.json")
 
 
+SF1_EVENTS = 10_000_000
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+def _sf1_legacy_attempt(prev: dict) -> dict:
+    """Convert a pre-attempts single-run recording into an attempt record
+    (the 20-file wall is reconstructed from the published trendline)."""
+    mb = prev["multi_batch_40_files"]
+    single = prev["single_batch_wall_sec_4n"]
+    return {
+        "wall_sec_n": mb["wall_sec_n"],
+        "wall_sec_4n": mb["wall_sec_4n"],
+        "wall_sec_4n_20files": round(
+            single + 20 * prev["per_batch_overhead_trendline_4n"]["batches_20"], 2
+        ),
+        "single_batch_wall_sec_4n": single,
+    }
+
+
+def _sf1_aggregate(attempts: list[dict], n_cores: int, n4_cores: int) -> dict:
+    """Median-based headline over ALL recorded attempts (the same
+    unconditioned estimator as the main protocol — no keep-the-best):
+    per-level walls take the cross-attempt median; per-batch overhead is
+    the median of each attempt's own same-window (20-file − single)/20."""
+    lo_med = _median([a["wall_sec_n"] for a in attempts])
+    hi_med = _median([a["wall_sec_4n"] for a in attempts])
+    single_med = _median([a["single_batch_wall_sec_4n"] for a in attempts])
+    speedup = round(lo_med / hi_med, 3)
+    per20 = [
+        max(0.0, a["wall_sec_4n_20files"] - a["single_batch_wall_sec_4n"]) / 20
+        for a in attempts
+    ]
+    per40 = [
+        max(0.0, a["wall_sec_4n"] - a["single_batch_wall_sec_4n"]) / 40
+        for a in attempts
+    ]
+    return {
+        "n_events": SF1_EVENTS,
+        "html_repeat": 8,
+        "mode": "measured live by SPARK_GRAFT_BENCH_SF1=1 (each run APPENDS "
+        "an attempt; headline = cross-attempt MEDIANS); embedded verbatim "
+        "on later bench runs (see BENCH/BASELINE.md)",
+        "reproduce": "SPARK_GRAFT_BENCH_SF1=1 python bench.py",
+        "cores_n": n_cores,
+        "cores_4n": n4_cores,
+        "multi_batch_40_files": {
+            "wall_sec_n": round(lo_med, 2),
+            "wall_sec_4n": round(hi_med, 2),
+            "events_per_sec_n": round(SF1_EVENTS / lo_med, 1),
+            "events_per_sec_4n": round(SF1_EVENTS / hi_med, 1),
+            "speedup_n_to_4n": speedup,
+            "scaling_efficiency_n_to_4n": round(speedup / 4, 3),
+        },
+        "single_batch_wall_sec_4n": round(single_med, 2),
+        "per_batch_overhead_trendline_4n": {
+            "batches_20": round(_median(per20), 2),
+            "batches_40": round(_median(per40), 2),
+        },
+        "attempts": attempts,
+    }
+
+
 def _sf1_evidence(warm_dir: str, n_cores: int, n4_cores: int) -> dict | None:
     """10M-event (sf1) replay evidence — the manifest/commit floor and the
     planner at realistic batch counts. A full sf1 sweep costs ~15 min of
     exclusive wall, so the default bench run EMBEDS the recorded in-repo
     measurement (provenance inside); set SPARK_GRAFT_BENCH_SF1=1 to
-    re-measure live (results overwrite the recording)."""
+    re-measure live. Each live run appends one attempt and the headline is
+    recomputed from cross-attempt medians — a fixed, unconditioned
+    estimator (no resample-until-pass, no keep-the-best)."""
     if os.environ.get("SPARK_GRAFT_BENCH_SF1") != "1":
         if os.path.exists(SF1_EVIDENCE_PATH):
             with open(SF1_EVIDENCE_PATH) as f:
                 return json.load(f)
         return None
-    sf1_events = 10_000_000
-    html_repeat = 8  # ~1 KB pages: 10 GB of raw page bytes at sf1
     mk = lambda files: ensure_event_log(
-        sf1_events,
-        html_repeat=html_repeat,
-        events_per_file=sf1_events // files if files > 1 else None,
+        SF1_EVENTS,
+        html_repeat=8,  # ~1 KB pages: 10 GB of raw page bytes at sf1
+        events_per_file=SF1_EVENTS // files if files > 1 else None,
         row_group_rows=50_000,
     )
     d40, d20, d1 = mk(40), mk(20), mk(1)
@@ -139,33 +206,19 @@ def _sf1_evidence(warm_dir: str, n_cores: int, n4_cores: int) -> dict | None:
     lo40 = replay_at(n_cores, d40, warm_dir, depth=4)
     hi20 = replay_at(n4_cores, d20, warm_dir, depth=4)
     hi1 = replay_at(n4_cores, d1, warm_dir)
-    speedup = round(hi40["events_per_sec"] / lo40["events_per_sec"], 3)
-    out = {
-        "n_events": sf1_events,
-        "html_repeat": html_repeat,
-        "mode": "measured live by SPARK_GRAFT_BENCH_SF1=1; embedded verbatim "
-        "on later bench runs (see BENCH/BASELINE.md)",
-        "reproduce": "SPARK_GRAFT_BENCH_SF1=1 python bench.py",
-        "cores_n": n_cores,
-        "cores_4n": n4_cores,
-        "multi_batch_40_files": {
-            "wall_sec_n": lo40["wall_sec"],
-            "wall_sec_4n": hi40["wall_sec"],
-            "events_per_sec_n": lo40["events_per_sec"],
-            "events_per_sec_4n": hi40["events_per_sec"],
-            "speedup_n_to_4n": speedup,
-            "scaling_efficiency_n_to_4n": round(speedup / 4, 3),
-        },
+    attempt = {
+        "wall_sec_n": lo40["wall_sec"],
+        "wall_sec_4n": hi40["wall_sec"],
+        "wall_sec_4n_20files": hi20["wall_sec"],
         "single_batch_wall_sec_4n": hi1["wall_sec"],
-        "per_batch_overhead_trendline_4n": {
-            "batches_20": round(
-                max(0.0, hi20["wall_sec"] - hi1["wall_sec"]) / 20, 2
-            ),
-            "batches_40": round(
-                max(0.0, hi40["wall_sec"] - hi1["wall_sec"]) / 40, 2
-            ),
-        },
     }
+    attempts: list[dict] = []
+    if os.path.exists(SF1_EVIDENCE_PATH):
+        with open(SF1_EVIDENCE_PATH) as f:
+            prev = json.load(f)
+        attempts = prev.get("attempts") or [_sf1_legacy_attempt(prev)]
+    attempts.append(attempt)
+    out = _sf1_aggregate(attempts, n_cores, n4_cores)
     os.makedirs(os.path.dirname(SF1_EVIDENCE_PATH), exist_ok=True)
     with open(SF1_EVIDENCE_PATH, "w") as f:
         json.dump(out, f, indent=1)

@@ -109,7 +109,7 @@ def decode_png(b: bytes) -> np.ndarray:
         elif f == 1:  # Sub
             acc = row.copy()
             for x in range(bpp, w * c):
-                acc[x] = (acc[x] + acc[x - bpp]) & 0xFF
+                acc[x] = (int(acc[x]) + int(acc[x - bpp])) & 0xFF
             out[y] = acc
         elif f == 2:  # Up
             out[y] = (row.astype(np.int16) + prev).astype(np.uint8)
@@ -117,7 +117,7 @@ def decode_png(b: bytes) -> np.ndarray:
             acc = np.zeros(w * c, dtype=np.uint8)
             for x in range(w * c):
                 left = acc[x - bpp] if x >= bpp else 0
-                acc[x] = (row[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+                acc[x] = (int(row[x]) + ((int(left) + int(prev[x])) >> 1)) & 0xFF
             out[y] = acc
         elif f == 4:  # Paeth
             acc = np.zeros(w * c, dtype=np.uint8)
@@ -127,7 +127,7 @@ def decode_png(b: bytes) -> np.ndarray:
                 p = _paeth(
                     np.uint8(left), np.uint8(prev[x]), np.uint8(ul)
                 )
-                acc[x] = (row[x] + int(p)) & 0xFF
+                acc[x] = (int(row[x]) + int(p)) & 0xFF
             out[y] = acc
         else:
             raise ValueError(f"unknown filter {f}")

@@ -73,3 +73,31 @@ def test_orders_by_nation_broadcasts_dims(spark, sf_dir):
     plan = _plan(entry.q_ana_orders_by_nation(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sf1_evidence_aggregation_is_median_based():
+    """bench's sf1 recorder: attempts accumulate and the headline is the
+    cross-attempt MEDIAN (unconditioned estimator — no keep-the-best)."""
+    import bench
+
+    mk = lambda lo, hi, h20, s1: {
+        "wall_sec_n": lo, "wall_sec_4n": hi,
+        "wall_sec_4n_20files": h20, "single_batch_wall_sec_4n": s1,
+    }
+    atts = [mk(300.0, 80.0, 120.0, 60.0), mk(310.0, 100.0, 90.0, 40.0),
+            mk(320.0, 90.0, 100.0, 50.0)]
+    agg = bench._sf1_aggregate(atts, 1, 4)
+    mb = agg["multi_batch_40_files"]
+    assert mb["wall_sec_n"] == 310.0 and mb["wall_sec_4n"] == 90.0
+    assert mb["speedup_n_to_4n"] == round(310.0 / 90.0, 3)
+    # per-batch overhead pairs quantities from the SAME attempt window
+    assert agg["per_batch_overhead_trendline_4n"]["batches_20"] == 2.5
+    assert len(agg["attempts"]) == 3
+    # legacy single-run recordings convert losslessly
+    legacy = {
+        "multi_batch_40_files": {"wall_sec_n": 315.52, "wall_sec_4n": 85.76},
+        "single_batch_wall_sec_4n": 59.04,
+        "per_batch_overhead_trendline_4n": {"batches_20": 3.71},
+    }
+    a = bench._sf1_legacy_attempt(legacy)
+    assert a["wall_sec_4n_20files"] == 133.24

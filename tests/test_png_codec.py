@@ -93,3 +93,23 @@ def test_multimodal_image_path_is_real_png():
     px = _decode_image_pixels(b)
     rng = np.random.default_rng(5)
     assert np.array_equal(px, rng.integers(0, 256, (10, 20, 3), dtype=np.uint8))
+
+
+def test_roundtrip_fuzz_random_shapes():
+    """Property fuzz: random (w, h, channels) roundtrips exactly, with no
+    numpy overflow warnings (uint8 filter arithmetic is explicit-int)."""
+    import warnings
+
+    import numpy as np
+
+    from mysql_syncer_spark.functions.png_codec import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        for _ in range(25):
+            w = int(rng.integers(1, 40))
+            h = int(rng.integers(1, 40))
+            c = int(rng.choice([1, 3, 4]))
+            img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            assert np.array_equal(decode_png(encode_png(img)), img), (w, h, c)
