@@ -36,8 +36,13 @@ def start_streaming_replay(
     max_files_per_trigger: int = 1,
     available_now: bool = True,
     processing_time: str = "1 second",
+    transform=None,
 ) -> StreamingQuery:
-    """Start (or resume from checkpoint) the streaming replay query."""
+    """Start (or resume from checkpoint) the streaming replay query.
+
+    ``transform`` (DataFrame -> DataFrame, optional) runs on the source
+    stream before the sink — e.g. ``sources.wire_log.decode_wire_events``
+    to tail a wire-format log of real ROWS_EVENT blobs."""
     if cfg is None:
         from ..plans.replay import default_pages_config
 
@@ -52,6 +57,8 @@ def start_streaming_replay(
         table.apply_batch(f"stream-{batch_id}", batch_df, cfg)
 
     stream = stream_event_log(spark, event_dir, max_files_per_trigger)
+    if transform is not None:
+        stream = transform(stream)
     writer = (
         stream.writeStream.foreachBatch(apply)
         .option("checkpointLocation", checkpoint_dir)
@@ -73,6 +80,7 @@ def run_streaming_replay(
     num_buckets: int = 64,
     max_files_per_trigger: int = 1,
     timeout_sec: float | None = None,
+    transform=None,
 ) -> dict:
     """Bounded replay: process everything available, then stop."""
     q = start_streaming_replay(
@@ -84,6 +92,7 @@ def run_streaming_replay(
         num_buckets,
         max_files_per_trigger,
         available_now=True,
+        transform=transform,
     )
     q.awaitTermination(timeout_sec)
     if q.isActive:
