@@ -222,11 +222,35 @@ def _wire_to_payload(d: dict | None) -> dict | None:
     }
 
 
-def decode_wire_events(df: DataFrame) -> DataFrame:
+def decode_wire_events(
+    df: DataFrame,
+    table_def: MySQLTableDef | None = None,
+    payload_struct: T.StructType | None = None,
+    to_payload=None,
+) -> DataFrame:
     """Wire log → the engine's typed event stream. Works on batch AND
     streaming DataFrames (a plain transformation); the output feeds
-    PagesTable.apply_batch / the streaming runner unchanged."""
-    td = PAGES_WIRE_TABLE
+    PagesTable.apply_batch / the streaming runner unchanged.
+
+    Defaults decode the pages table; pass ``table_def`` (+ optionally
+    ``payload_struct`` / ``to_payload``) to decode another table's wire
+    rows — see ``route_wire_tables`` for the multi-table dispatch."""
+    td = table_def or PAGES_WIRE_TABLE
+    if payload_struct is None and table_def is not None:
+        payload_struct = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in td.spark_schema()]
+        )
+    pay_struct = payload_struct or WIRE_PAYLOAD_STRUCT
+    convert = to_payload if to_payload is not None else (
+        _wire_to_payload if table_def is None else (lambda d: d)
+    )
+    out_schema = T.StructType(
+        [
+            f if f.name not in ("before", "after")
+            else T.StructField(f.name, pay_struct, True)
+            for f in DECODED_EVENT_SCHEMA.fields
+        ]
+    )
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -239,14 +263,14 @@ def decode_wire_events(df: DataFrame) -> DataFrame:
                     ddl = parse_ddl_query(query)
                 elif op == "U":
                     d = td.decode_rows_event(bytes(blob), "update")[0]
-                    before = _wire_to_payload(
+                    before = convert(
                         {k[7:]: v for k, v in d.items() if k.startswith("before_")}
                     )
-                    after = _wire_to_payload(
+                    after = convert(
                         {k[6:]: v for k, v in d.items() if k.startswith("after_")}
                     )
                 else:  # I and D both carry one image, placed in `after`
-                    after = _wire_to_payload(
+                    after = convert(
                         td.decode_rows_event(bytes(blob), "write")[0]
                     )
                 befores.append(before)
@@ -266,4 +290,20 @@ def decode_wire_events(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(mapper, schema=DECODED_EVENT_SCHEMA)
+    return df.mapInPandas(mapper, schema=out_schema)
+
+
+def route_wire_tables(
+    df: DataFrame, registry: dict[str, MySQLTableDef]
+) -> dict[str, DataFrame]:
+    """Per-table wire dispatch (the reference's per-table slave registry,
+    R1, at the wire level): each replicated table gets its own decoded
+    typed stream, filtered by the envelope's ``table`` column BEFORE the
+    Python decode stage so the filter pushes into the parquet scan and
+    each table's decode only reads its own blobs."""
+    return {
+        name: decode_wire_events(
+            df.filter(df["table"] == name), table_def=td
+        )
+        for name, td in registry.items()
+    }

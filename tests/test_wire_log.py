@@ -92,3 +92,44 @@ def test_streaming_wire_replay_matches_typed_replay(spark):
 
     a, b = snap(p_typed), snap(p_wire)
     assert a == b and len(a) > 0
+
+
+def test_route_wire_tables_multi_table(spark):
+    """Two tables with different wire schemas in ONE log; per-table routed
+    decode returns each table's typed stream (R1 at the wire level)."""
+    from decimal import Decimal
+
+    from mysql_syncer_spark.sources.mysql_rows import MySQLColumn, MySQLTableDef
+    from mysql_syncer_spark.sources.wire_log import route_wire_tables
+
+    users = MySQLTableDef(
+        columns=(MySQLColumn("uid", "longlong"), MySQLColumn("name", "varchar(40)"))
+    )
+    orders = MySQLTableDef(
+        columns=(
+            MySQLColumn("oid", "long"),
+            MySQLColumn("amount", "newdecimal(12,2)"),
+        )
+    )
+    rows = [
+        (4, 0, 1, "I", "db.users", 0,
+         users.encode_rows_event([{"uid": 7, "name": "ada"}], "write"), None),
+        (101, 0, 1, "I", "db.orders", 0,
+         orders.encode_rows_event([{"oid": 1, "amount": Decimal("12.50")}], "write"),
+         None),
+        (198, 0, 1, "U", "db.users", 1,
+         users.encode_rows_event([({"uid": 7, "name": "ada"},
+                                   {"uid": 7, "name": "lovelace"})], "update"),
+         None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "log_pos long, file_seq int, server_id int, op string, table string, "
+        "tx_id long, rows_event binary, query string",
+    )
+    routed = route_wire_tables(df, {"db.users": users, "db.orders": orders})
+    u = sorted(routed["db.users"].collect(), key=lambda r: r["log_pos"])
+    assert u[0]["after"]["name"] == "ada" and u[0]["before"] is None
+    assert u[1]["before"]["name"] == "ada" and u[1]["after"]["name"] == "lovelace"
+    o = routed["db.orders"].collect()
+    assert len(o) == 1 and o[0]["after"]["amount"] == Decimal("12.50")
