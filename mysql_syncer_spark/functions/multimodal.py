@@ -15,16 +15,19 @@ metadata probes are REAL** (round 3): ``jpeg_meta`` walks T.81 marker
 segments to the SOF frame header, ``webp_meta`` walks RIFF chunks to
 VP8/VP8L/VP8X — real camera/web files yield (width, height, channels)
 without any codec lib; their PIXEL decode stays gated behind PIL
-(entropy/DCT decode needs a codec). Video stays synthetic-framed (no
-ffmpeg in this container): frame math is real numpy, the container is a
-self-describing header, and a real demuxer swaps in at ONE function.
+(entropy/DCT decode needs a codec). **Video is a REAL AVI container**
+(round 3): RIFF 'AVI ' with uncompressed BGR24 DIB frames
+(``avi_codec.py`` — hdrl/strl headers, movi '00db' chunks, idx1 index;
+any player opens it); compressed codecs (MJPEG/H.264) stay out of scope
+without a codec lib. The legacy ``VID1`` frame stays accepted.
 
 Wire formats:
-  image: PNG (RFC 2083 subset: 8-bit gray/RGB/RGBA), or legacy
-         b"IMG1" + u16 w + u16 h + u8 channels + w*h*c payload bytes
+  image: PNG (RFC 2083 subset: 8-bit gray/RGB/RGBA); JPEG + WebP
+         metadata probes; or legacy b"IMG1" + u16 w + u16 h +
+         u8 channels + w*h*c payload bytes
   audio: RIFF/WAVE PCM16 mono, or legacy b"PCM1" + u32 sr + s16le samples
-  video: b"VID1" + u16 w + u16 h + u8 fps + u16 n_frames + frames
-         (each frame = w*h bytes, grayscale)
+  video: RIFF/AVI uncompressed DIB (avi_codec.py), or legacy b"VID1" +
+         u16 w + u16 h + u8 fps + u16 n_frames + w*h-byte gray frames
 """
 
 from __future__ import annotations
@@ -116,9 +119,13 @@ def make_audio_bytes(media_id: int, sr: int = 16000, seconds: float = 0.25) -> b
 def make_video_bytes(
     media_id: int, w: int = 16, h: int = 12, fps: int = 8, n_frames: int = 24
 ) -> bytes:
+    """Deterministic REAL AVI (RIFF container, uncompressed BGR24 DIB
+    frames — avi_codec.py; any player opens it)."""
+    from .avi_codec import encode_avi
+
     rng = np.random.default_rng(media_id)
-    frames = rng.integers(0, 256, n_frames * w * h, dtype=np.uint8)
-    return b"VID1" + struct.pack("<HHBH", w, h, fps, n_frames) + frames.tobytes()
+    frames = rng.integers(0, 256, (n_frames, h, w), dtype=np.uint8)
+    return encode_avi(frames, fps)
 
 
 # ---------------------------------------------------------------------------
@@ -350,11 +357,22 @@ def sample_video_frames(
     )
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi_codec import parse_avi
+
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
             for mid, b in zip(pdf[id_col], pdf[bytes_col]):
+                b = bytes(b)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":  # real container
+                    w, h, fps, all_frames = parse_avi(b)
+                    for i in range(0, len(all_frames), every_n):
+                        ids.append(mid)
+                        idxs.append(i)
+                        tss.append(round(i / fps, 6))
+                        frames.append(all_frames[i].tobytes())
+                    continue
                 if b[:4] != b"VID1":
-                    raise ValueError("unknown video format (no codec in container)")
+                    raise ValueError("unknown video format (AVI/VID1 supported)")
                 w, h, fps, n_frames = struct.unpack_from("<HHBH", b, 4)
                 fsz = w * h
                 for i in range(0, n_frames, every_n):
