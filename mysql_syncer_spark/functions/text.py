@@ -252,3 +252,89 @@ def fingerprint(text: Column) -> Column:
     whitespace). Stable across engines (md5 of UTF-8 bytes)."""
     norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(norm)
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style LINE repetition signals (Rae et al. 2021 §A1.1, the
+    standard webtext quality gate): fraction of duplicate lines and
+    fraction of characters inside duplicate lines. JVM higher-order array
+    functions, projection-only (no shuffle); the per-row cost is
+    O(lines²) which is bounded — web pages have tens to hundreds of
+    lines, not thousands. Token-level n-gram mass lives in
+    ``top_ngram_char_fraction`` (explode-based, linear) because gram
+    counts DO reach the thousands per document."""
+    lines = F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    dup_line_frac = F.when(
+        n_lines > 0, 1.0 - n_distinct_lines / n_lines
+    ).otherwise(F.lit(0.0))
+    dup_line_chars = F.aggregate(
+        lines,
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(F.lit(0)),
+    )
+    total_line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    dup_line_char_frac = F.when(
+        total_line_chars > 0, dup_line_chars / total_line_chars
+    ).otherwise(F.lit(0.0))
+    return {
+        "dup_line_frac": F.round(dup_line_frac, 4),
+        "dup_line_char_frac": F.round(dup_line_char_frac, 4),
+    }
+
+
+def _ngrams(text: Column, n: int) -> Column:
+    toks = F.filter(F.split(F.lower(text), r"\W+"), lambda x: x != "")
+    return F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_char_fraction(
+    df, n: int, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Character mass of each document's most frequent word n-gram
+    (Gopher §A1.1 "top n-gram"): explode grams → count per (doc, gram) →
+    max mass vs total. Linear in corpus size, ONE shuffle keyed by
+    (doc, gram) with map-side partial counts — the scale-safe shape for
+    documents with thousands of grams (an all-pairs array expression
+    would be O(grams²) per row)."""
+    grams = df.select(
+        F.col(id_col), F.explode(_ngrams(F.col(text_col), n)).alias("_g")
+    )
+    per_gram = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    frac = (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.max(F.col("_c") * F.length("_g")).alias("_top_mass"),
+            F.sum(F.col("_c") * F.length("_g")).alias("_total_mass"),
+        )
+        .select(
+            F.col(id_col),
+            F.round(F.col("_top_mass") / F.col("_total_mass"), 4).alias(
+                f"top_{n}gram_char_frac"
+            ),
+        )
+    )
+    return frac
+
+
+def with_repetition_features(df, id_col: str = "doc_id", text_col: str = "text"):
+    """documents + dup-line fractions (inline) + top 2-gram / 3-gram char
+    mass (two linear aggregations, left-joined back; docs with no grams
+    get 0.0)."""
+    out = df
+    for name, col in repetition_features(F.col(text_col)).items():
+        out = out.withColumn(name, col)
+    for n in (2, 3):
+        out = out.join(top_ngram_char_fraction(df, n, id_col, text_col),
+                       on=id_col, how="left")
+        out = out.fillna({f"top_{n}gram_char_frac": 0.0})
+    return out

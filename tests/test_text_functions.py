@@ -101,3 +101,39 @@ def test_vocabulary_counts_and_ranks(spark):
     out = {r["token"]: (r["n_occurrences"], r["rank"]) for r in vocabulary(df, top_k=2).collect()}
     # lowercased totals: a=3, b=3, c=1; tie a/b broken by token asc
     assert out == {"a": (3, 1), "b": (3, 2)}
+
+
+def test_repetition_features_gopher(spark):
+    """Dup-line fractions + top n-gram char mass vs hand-computed truth."""
+    from mysql_syncer_spark.functions.text import with_repetition_features
+
+    docs = [
+        # 4 lines, "same line" twice: dup_line_frac = 1 - 3/4 = 0.25;
+        # dup chars = 2*9 = 18 of 9+9+5+7 = 30 → 0.6
+        (1, "same line\nsame line\nother\nanother"),
+        # heavy 2-gram repetition: "buy now" x3
+        (2, "buy now buy now buy now"),
+        (3, "all distinct words here today"),
+        (4, ""),  # empty: all features 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_repetition_features(df).collect()}
+
+    assert got[1]["dup_line_frac"] == 0.25
+    assert got[1]["dup_line_char_frac"] == 0.6
+    assert got[3]["dup_line_frac"] == 0.0
+
+    # doc 2 grams: [buy now, now buy, buy now, now buy, buy now]
+    # masses: "buy now"×3×7=21, "now buy"×2×7=14, total 35 → 0.6
+    assert got[2]["top_2gram_char_frac"] == 0.6
+    # doc 3: every 2-gram unique → top = 1/n_grams weighted; all grams
+    # distinct so top mass = max single gram length / total
+    assert 0.0 < got[3]["top_2gram_char_frac"] < 0.5
+    assert got[4]["dup_line_frac"] == 0.0
+    assert got[4]["top_2gram_char_frac"] == 0.0
+    assert got[4]["top_3gram_char_frac"] == 0.0
+
+    # plan shape: the inline features add no shuffle beyond the two
+    # n-gram aggregations
+    plan = with_repetition_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
