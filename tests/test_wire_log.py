@@ -194,3 +194,46 @@ def test_wire_changelog_roundtrip(spark):
             if isinstance(got_v, bytearray):
                 got_v = bytes(got_v)
             assert got_v == exp_v, (url, c, got_v, exp_v)
+
+
+def test_streaming_wire_kill_and_resume(spark, tmp_path):
+    """Exactly-once survives a mid-stream kill on the WIRE path too: stop
+    after ≥1 committed micro-batch, resume from the same checkpoint, final
+    state equals the sequential oracle."""
+    import time
+
+    from mysql_syncer_spark.oracle import sequential_replay
+    from mysql_syncer_spark.streaming.runner import start_streaming_replay
+
+    tbl = generate_events(GenSpec(n_events=1500, events_per_file=300))
+    d_wire = tempfile.mkdtemp()
+    write_wire_event_log(tbl, d_wire)
+    table_path = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_streaming_replay(
+        spark, d_wire, table_path, ckpt, num_buckets=8,
+        available_now=True, transform=decode_wire_events,
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if PagesTable.exists(table_path) and PagesTable(spark, table_path).n_committed() > 0:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
+    assert PagesTable(spark, table_path).n_committed() >= 1
+
+    run_streaming_replay(
+        spark, d_wire, table_path, ckpt, num_buckets=8,
+        timeout_sec=240, transform=decode_wire_events,
+    )
+    oracle, cols, _ = sequential_replay(tbl)
+    got = {r["url"]: r.asDict() for r in PagesTable(spark, table_path).read().collect()}
+    assert set(got) == set(oracle)
+    for url, o in oracle.items():
+        for c in cols:
+            ov, ev = o.get(c), got[url].get(c)
+            if c == "warc_ts":
+                ov, ev = _to_us(ov), _to_us(ev)
+            assert ov == ev, (url, c, ov, ev)
