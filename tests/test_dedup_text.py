@@ -152,3 +152,30 @@ def test_duplicate_clusters_raises_instead_of_splitting(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(pairs, max_iters=2).collect()
+
+
+def test_contaminated_docs_13gram(spark):
+    """Decontamination: a doc sharing one 13-gram with the benchmark is
+    flagged; shorter overlaps are not; the benchmark side is broadcast."""
+    from mysql_syncer_spark.functions.dedup_text import contaminated_docs
+
+    bench_q = (
+        "what is the capital of france and when was it founded by whom"
+    )  # exactly 13 words -> one 13-gram
+    corpus = [
+        # contains the full 13-gram (padded around) -> contaminated
+        (1, "intro text " + bench_q + " trailing words here"),
+        # only a 12-word prefix -> clean
+        (2, "intro " + " ".join(bench_q.split()[:12]) + " unrelated tail"),
+        (3, "completely unrelated document about spark partitioning"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_q,)], "text string")
+
+    out = contaminated_docs(df, bench, n=13)
+    got = {r["doc_id"]: r["n_shared_grams"] for r in out.collect()}
+    assert got == {1: 1}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Python" not in plan
