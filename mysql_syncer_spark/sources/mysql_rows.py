@@ -410,6 +410,10 @@ class MySQLTableDef:
                         row[c.name] = None
                     continue
                 v, pos = self._decode_value(c, buf, pos, metas[i])
+                if pos > len(blob):  # claimed length runs past the buffer
+                    raise ValueError(
+                        f"truncated row image at column {c.name!r}"
+                    )
                 if c.name not in self.skip:  # pas.pos == -1 → walk, drop
                     row[c.name] = v
             if event_type == "update":

@@ -227,6 +227,7 @@ def decode_wire_events(
     table_def: MySQLTableDef | None = None,
     payload_struct: T.StructType | None = None,
     to_payload=None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Wire log → the engine's typed event stream. Works on batch AND
     streaming DataFrames (a plain transformation); the output feeds
@@ -234,7 +235,16 @@ def decode_wire_events(
 
     Defaults decode the pages table; pass ``table_def`` (+ optionally
     ``payload_struct`` / ``to_payload``) to decode another table's wire
-    rows — see ``route_wire_tables`` for the multi-table dispatch."""
+    rows — see ``route_wire_tables`` for the multi-table dispatch.
+
+    ``on_error='skip'`` drops undecodable events (truncated blob, unknown
+    DDL, registry/type mismatch) instead of failing the task — the
+    poison-pill mode every long-running CDC tail needs; the skip is
+    deterministic (same blob → same outcome) so Structured Streaming
+    retries and checkpoint replays stay consistent. Default is 'fail':
+    corruption should be LOUD unless the operator opted in."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     td = table_def or PAGES_WIRE_TABLE
     if payload_struct is None and table_def is not None:
         payload_struct = T.StructType(
@@ -254,36 +264,44 @@ def decode_wire_events(
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            befores, afters, ddls = [], [], []
-            for blob, op, query in zip(
-                pdf["rows_event"], pdf["op"], pdf["query"]
+            befores, afters, ddls, kept = [], [], [], []
+            for idx, (blob, op, query) in enumerate(
+                zip(pdf["rows_event"], pdf["op"], pdf["query"])
             ):
                 before = after = ddl = None
-                if op == "DDL":
-                    ddl = parse_ddl_query(query)
-                elif op == "U":
-                    d = td.decode_rows_event(bytes(blob), "update")[0]
-                    before = convert(
-                        {k[7:]: v for k, v in d.items() if k.startswith("before_")}
-                    )
-                    after = convert(
-                        {k[6:]: v for k, v in d.items() if k.startswith("after_")}
-                    )
-                else:  # I and D both carry one image, placed in `after`
-                    after = convert(
-                        td.decode_rows_event(bytes(blob), "write")[0]
-                    )
+                try:
+                    if op == "DDL":
+                        ddl = parse_ddl_query(query)
+                    elif op == "U":
+                        d = td.decode_rows_event(bytes(blob), "update")[0]
+                        before = convert(
+                            {k[7:]: v for k, v in d.items() if k.startswith("before_")}
+                        )
+                        after = convert(
+                            {k[6:]: v for k, v in d.items() if k.startswith("after_")}
+                        )
+                    else:  # I and D both carry one image, placed in `after`
+                        after = convert(
+                            td.decode_rows_event(bytes(blob), "write")[0]
+                        )
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    continue  # poison pill: deterministic skip
                 befores.append(before)
                 afters.append(after)
                 ddls.append(ddl)
+                kept.append(idx)
+            if not kept:  # all rows skipped: an empty object column would
+                continue  # arrive float64 and fail the Arrow struct cast
             yield pd.DataFrame(
                 {
-                    "log_pos": pdf["log_pos"].values,
-                    "file_seq": pdf["file_seq"].values,
-                    "server_id": pdf["server_id"].values,
-                    "op": pdf["op"].values,
-                    "table": pdf["table"].values,
-                    "tx_id": pdf["tx_id"].values,
+                    "log_pos": pdf["log_pos"].values[kept],
+                    "file_seq": pdf["file_seq"].values[kept],
+                    "server_id": pdf["server_id"].values[kept],
+                    "op": pdf["op"].values[kept],
+                    "table": pdf["table"].values[kept],
+                    "tx_id": pdf["tx_id"].values[kept],
                     "before": befores,
                     "after": afters,
                     "ddl": ddls,

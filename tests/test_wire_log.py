@@ -237,3 +237,33 @@ def test_streaming_wire_kill_and_resume(spark, tmp_path):
             if c == "warc_ts":
                 ov, ev = _to_us(ov), _to_us(ev)
             assert ov == ev, (url, c, ov, ev)
+
+
+def test_decode_on_error_skip_drops_poison_pills(spark):
+    import pytest
+
+    from mysql_syncer_spark.sources.mysql_rows import MySQLColumn, MySQLTableDef
+
+    td = MySQLTableDef(
+        columns=(MySQLColumn("uid", "longlong"), MySQLColumn("name", "varchar(40)"))
+    )
+    good = td.encode_rows_event([{"uid": 1, "name": "ok"}], "write")
+    rows = [
+        (1, 0, 1, "I", "db.users", 0, good, None),
+        (2, 0, 1, "I", "db.users", 0, good[: len(good) - 3], None),  # truncated
+        (3, 0, 1, "DDL", "db.users", 0, None, "DROP TABLE nope"),  # unsupported
+        (4, 0, 1, "I", "db.users", 0, good, None),
+    ]
+    schema = (
+        "log_pos long, file_seq int, server_id int, op string, table string, "
+        "tx_id long, rows_event binary, query string"
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    # default mode is loud
+    with pytest.raises(Exception):
+        decode_wire_events(df, table_def=td).collect()
+
+    got = decode_wire_events(df, table_def=td, on_error="skip").collect()
+    assert sorted(r["log_pos"] for r in got) == [1, 4]
+    assert all(r["after"]["name"] == "ok" for r in got)
