@@ -72,6 +72,15 @@ _HIDDEN_DDL = [
 ]
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer claimed this manifest version first — reload
+    the manifest, re-apply the batch's metadata, bump, retry."""
+
+    def __init__(self, version: int):
+        super().__init__(f"manifest version {version} already committed")
+        self.version = version
+
+
 @dataclass
 class Manifest:
     version: int
@@ -181,14 +190,31 @@ class PagesTable:
             return Manifest.from_json(f.read())
 
     def _commit(self, m: Manifest) -> None:
-        """Atomic: manifest file, then CURRENT pointer, each via rename."""
+        """Atomic + optimistic: the version file is claimed with an
+        EXCLUSIVE create (hardlink — fails if a concurrent writer already
+        committed this version number), then the CURRENT pointer advances
+        monotonically. A lost race raises CommitConflictError; the caller
+        rebases on the fresh manifest and retries (Iceberg's optimistic
+        concurrency protocol). The old os.rename overwrite would have let
+        two writers silently last-write-win."""
         vdir = os.path.join(self.path, "_versions")
         mpath = os.path.join(vdir, f"v{m.version:08d}.json")
         tmp = mpath + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(m.to_json())
-        os.rename(tmp, mpath)
+        try:
+            os.link(tmp, mpath)  # atomic create-if-absent
+        except FileExistsError:
+            raise CommitConflictError(m.version)
+        finally:
+            os.unlink(tmp)
         cur = os.path.join(vdir, "CURRENT")
+        try:  # never move CURRENT backwards past a racing higher commit
+            with open(cur) as f:
+                if int(f.read().strip()) >= m.version:
+                    return
+        except (FileNotFoundError, ValueError):
+            pass
         tmp = cur + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(m.version))
@@ -431,7 +457,10 @@ class PagesTable:
             mark,
             carry_salted=False if cfg.skew_probe == "never" else None,
         )
-        res = self._commit_batch(m, bid, delta, n_ddl, t0, mark)
+        res = self._commit_batch(
+            m, bid, delta, n_ddl, t0, mark,
+            rebase=lambda fm: [self._apply_ddl(fm, d) for d in ddls],
+        )
         if profile:
             deltas = [
                 f"{label}={t - (marks[i-1][1] if i else 0):.1f}s"
@@ -449,6 +478,7 @@ class PagesTable:
         t0: float,
         mark=lambda label: None,
         inline_compact: bool = True,
+        rebase=None,
     ) -> dict:
         """Register a written delta + run threshold compaction + commit the
         manifest atomically (ledger + lineage + schema in one rename).
@@ -456,50 +486,76 @@ class PagesTable:
         fold — the caller runs compaction ASYNCHRONOUSLY and folds its
         result into a later ordered commit (Iceberg's async
         rewrite_data_files shape), so the table-sized merge never sits in
-        the serial commit path."""
+        the serial commit path.
+
+        Optimistic concurrency: a lost version race reloads the manifest,
+        replays ``rebase(fresh)`` (the caller's DDL mutations), re-registers
+        the delta, and retries — the written delta dirs are version-free so
+        a rebase never rewrites data. If the SAME batch id landed via a
+        concurrent writer, returns skipped (exactly-once across writers)."""
         new_dirs, lineage_rows = delta["new_dirs"], delta["lineage_rows"]
         rows_in_batch = sum(lineage_rows.values())
-        m.version += 1
-        for b, d in new_dirs.items():
-            m.buckets.setdefault(b, []).append(d)
-            m.lineage[b] = {"batch_id": bid, "rows": lineage_rows.get(b, 0)}
+        while True:
+            m.version += 1
+            for b, d in new_dirs.items():
+                m.buckets.setdefault(b, []).append(d)
+                m.lineage[b] = {"batch_id": bid, "rows": lineage_rows.get(b, 0)}
 
-        # --- threshold compaction, same atomic commit ------------------
-        # buckets past compact_threshold vintages fold back to ONE file;
-        # read amplification stays bounded while per-batch write cost
-        # stays O(batch). Rows are already transformed — extraction never
-        # re-runs at compaction.
-        over = [b for b, lst in m.buckets.items() if len(lst) > m.compact_threshold]
-        if over and inline_compact:
-            self._compact_buckets(m, over, bid)
-            mark("compaction")
-        elif not inline_compact:
-            over = []
-        m.committed_batches.append(bid)
-        # inline ledger fold: contiguous numeric ids collapse into the
-        # prefix watermark ON EVERY COMMIT, so the manifest stays
-        # O(buckets + out-of-order window) over a 10^6-batch replay instead
-        # of growing one ledger entry per commit (compact_ledger() remains
-        # for one-off maintenance of legacy manifests).
-        self._fold_ledger(m)
-        events_in = delta["events_in"]
-        m.metrics = {
-            "batch_id": bid,
-            "events_in": events_in,
-            "rows_after_dedup": rows_in_batch,  # winner rows written
-            # events folded away by the batch-level LWW reduction
-            "dedup_hits": max(0, events_in - rows_in_batch),
-            "ddl_applied": n_ddl,
-            "buckets_touched": len(new_dirs),
-            "merge_ms": int((time.time() - t0) * 1000),
-            "salted_merge": bool(delta["use_salted"]),
-            "max_key_rows": delta["max_key_rows"],
-            "skew_probed": bool(delta.get("skew_probed", True)),
-            "dup_share": delta.get("dup_share", 0.0),
-            "compacted_buckets": len(over),
-        }
-        self._commit(m)
+            # --- threshold compaction, same atomic commit --------------
+            # buckets past compact_threshold vintages fold back to ONE
+            # file; read amplification stays bounded while per-batch write
+            # cost stays O(batch). Rows are already transformed —
+            # extraction never re-runs at compaction.
+            over = [
+                b for b, lst in m.buckets.items() if len(lst) > m.compact_threshold
+            ]
+            if over and inline_compact:
+                self._compact_buckets(m, over, bid)
+                mark("compaction")
+            elif not inline_compact:
+                over = []
+            m.committed_batches.append(bid)
+            # inline ledger fold: contiguous numeric ids collapse into the
+            # prefix watermark ON EVERY COMMIT, so the manifest stays
+            # O(buckets + out-of-order window) over a 10^6-batch replay
+            # instead of growing one ledger entry per commit
+            # (compact_ledger() remains for one-off maintenance).
+            self._fold_ledger(m)
+            events_in = delta["events_in"]
+            m.metrics = {
+                "batch_id": bid,
+                "events_in": events_in,
+                "rows_after_dedup": rows_in_batch,  # winner rows written
+                # events folded away by the batch-level LWW reduction
+                "dedup_hits": max(0, events_in - rows_in_batch),
+                "ddl_applied": n_ddl,
+                "buckets_touched": len(new_dirs),
+                "merge_ms": int((time.time() - t0) * 1000),
+                "salted_merge": bool(delta["use_salted"]),
+                "max_key_rows": delta["max_key_rows"],
+                "skew_probed": bool(delta.get("skew_probed", True)),
+                "dup_share": delta.get("dup_share", 0.0),
+                "compacted_buckets": len(over),
+            }
+            try:
+                self._commit(m)
+                break
+            except CommitConflictError:
+                fresh = self.manifest()
+                if self._is_committed(fresh, bid):
+                    self._manifest_after_commit = fresh
+                    return {
+                        "batch_id": bid,
+                        "skipped": True,
+                        "reason": "committed by concurrent writer",
+                    }
+                if rebase is not None:
+                    rebase(fresh)
+                m = fresh
         mark("commit")
+        # pipelined callers rebind their shared manifest to this object
+        # after a rebase (the original reference is stale post-conflict)
+        self._manifest_after_commit = m
         return dict(m.metrics, skipped=False)
 
     def apply_batches_pipelined(
@@ -606,6 +662,7 @@ class PagesTable:
                 )
 
         def commit_head() -> None:
+            nonlocal m
             bid, ddls, t0, fut = inflight.pop(0)
             delta = fut.result()
             if delta.get("skew_probed"):
@@ -617,8 +674,12 @@ class PagesTable:
                 self._apply_ddl(m, d)
             fold_compaction_if_ready(bid)
             results.append(
-                self._commit_batch(m, bid, delta, len(ddls), t0, inline_compact=False)
+                self._commit_batch(
+                    m, bid, delta, len(ddls), t0, inline_compact=False,
+                    rebase=lambda fm, _ds=ddls: [self._apply_ddl(fm, d) for d in _ds],
+                )
             )
+            m = self._manifest_after_commit  # follow any conflict rebase
             schedule_compaction_if_needed()
 
         try:
