@@ -943,6 +943,22 @@ class PagesTable:
                 if cur == old:
                     m.column_mapping[wire] = new
             m.renames.append([old, new])
+        elif kind == "drop_column":
+            col = d["col"]
+            if col in m.key_columns:
+                raise ValueError(f"cannot drop key column {col!r}")
+            if col not in names:
+                return  # already dropped / unknown — idempotent skip
+            m.schema = [e for e in m.schema if e[0] != col]
+            for wire, cur in list(m.column_mapping.items()):
+                if cur == col:
+                    del m.column_mapping[wire]
+            # Old file vintages keep the physical column; the manifest
+            # schema no longer reads it (column pruning), and the next
+            # compaction rewrites it away. Name-based mapping caveat
+            # (Iceberg solves this with field ids): re-ADDING the same
+            # name later resurrects pre-drop values from vintages that
+            # have not been compacted yet.
         else:
             raise ValueError(f"unknown DDL kind {kind}")
 

@@ -94,6 +94,8 @@ def ddl_to_query(ddl: dict) -> str:
             f"ALTER TABLE pages RENAME COLUMN `{ddl['col']}` "
             f"TO `{ddl['new_name']}`"
         )
+    if ddl["kind"] == "drop_column":
+        return f"ALTER TABLE pages DROP COLUMN `{ddl['col']}`"
     raise ValueError(ddl["kind"])
 
 
@@ -103,6 +105,7 @@ _ADD_RE = re.compile(
 _RENAME_RE = re.compile(
     r"ALTER TABLE \S+ RENAME COLUMN `?(\w+)`? TO `?(\w+)`?", re.IGNORECASE
 )
+_DROP_RE = re.compile(r"ALTER TABLE \S+ DROP COLUMN `?(\w+)`?", re.IGNORECASE)
 
 
 def parse_ddl_query(sql: str) -> dict:
@@ -115,6 +118,10 @@ def parse_ddl_query(sql: str) -> dict:
     if m:
         return {"kind": "rename_column", "col": m.group(1),
                 "new_name": m.group(2), "dtype": None}
+    m = _DROP_RE.match(sql)
+    if m:
+        return {"kind": "drop_column", "col": m.group(1), "new_name": None,
+                "dtype": None}
     raise ValueError(f"unsupported DDL: {sql!r}")
 
 

@@ -20,8 +20,11 @@ def test_ddl_query_text_roundtrip():
     add = {"kind": "add_column", "col": "extra", "new_name": None, "dtype": "string"}
     ren = {"kind": "rename_column", "col": "extra", "new_name": "extra_v2",
            "dtype": None}
+    drop = {"kind": "drop_column", "col": "extra_v2", "new_name": None,
+            "dtype": None}
     assert parse_ddl_query(ddl_to_query(add)) == add
     assert parse_ddl_query(ddl_to_query(ren)) == ren
+    assert parse_ddl_query(ddl_to_query(drop)) == drop
 
 
 def _norm_payload(p):
