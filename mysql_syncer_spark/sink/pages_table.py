@@ -364,6 +364,48 @@ class PagesTable:
             )
         )
 
+    def history(self) -> DataFrame:
+        """Commit history as a DataFrame — the Iceberg ``snapshots`` /
+        ``history`` metadata-table parity surface. One row per persisted
+        manifest version with its commit metrics (events_in, dedup_hits,
+        merge_ms, ...). Reads only the O(versions) manifest JSONs on the
+        driver — no data files touched."""
+        import json as _json
+
+        vdir = os.path.join(self.path, "_versions")
+        rows = []
+        for fn in sorted(os.listdir(vdir)):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(vdir, fn)) as f:
+                mj = _json.load(f)
+            met = mj.get("metrics") or {}
+            rows.append(
+                (
+                    int(mj["version"]),
+                    met.get("batch_id"),
+                    int(met.get("events_in", 0)),
+                    int(met.get("rows_after_dedup", 0)),
+                    int(met.get("dedup_hits", 0)),
+                    int(met.get("ddl_applied", 0)),
+                    int(met.get("buckets_touched", 0)),
+                    int(met.get("merge_ms", 0)),
+                    int(met.get("compacted_buckets", 0)),
+                    len(mj.get("committed_batches", []))
+                    + sum(
+                        int(w) + 1
+                        for w in (mj.get("ledger_watermarks") or {}).values()
+                    ),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, batch_id string, events_in long, "
+            "rows_after_dedup long, dedup_hits long, ddl_applied int, "
+            "buckets_touched int, merge_ms long, compacted_buckets int, "
+            "ledger_entries long",
+        )
+
     def lookup(self, key_value) -> DataFrame:
         """Point read by key: hash to the bucket LOCALLY (pure-Python
         xxhash64 twin — no Spark job on the probe path; ~100 ms of driver

@@ -71,3 +71,31 @@ def test_changelog_resurrection_is_insert(spark, tmp_table_path):
     t.apply_batch("b1", _ev(spark, [(2, 1, "I", "u1", "2024-01-06T00:00")]), None)
     ch = {r["url"]: r["change_op"] for r in t.changes_between(v1).collect()}
     assert ch == {"u1": "I"}  # tombstone → live = resurrection = I
+
+
+def test_history_metadata_table(spark, tmp_path):
+    """history(): one row per persisted version, metrics consistent with
+    the replay (Iceberg snapshots-table parity)."""
+    import tempfile
+
+    from mysql_syncer_spark.generator import GenSpec, generate_events, write_event_log
+    from mysql_syncer_spark.plans.replay import replay
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+
+    tbl = generate_events(GenSpec(n_events=900, events_per_file=300))
+    d = tempfile.mkdtemp()
+    write_event_log(tbl, d)
+    path = str(tmp_path / "pages")
+    replay(spark, d, path, num_buckets=4)
+    t = PagesTable(spark, path)
+
+    h = t.history().orderBy("version").collect()
+    assert h[-1]["version"] == t.manifest().version
+    assert len(h) == t.manifest().version + 1  # v0 (create) .. current
+    batch_rows = [r for r in h if r["batch_id"] is not None]
+    assert len(batch_rows) >= 3  # one per binlog file
+    assert sum(r["events_in"] for r in batch_rows) >= 900
+    assert all(r["merge_ms"] >= 0 for r in batch_rows)
+    # ledger grows (or holds, post-fold) along the history
+    ledgers = [r["ledger_entries"] for r in h]
+    assert ledgers[-1] >= 1
