@@ -345,6 +345,30 @@ def wire_def_for(
     return MySQLTableDef(columns=tuple(specs)), ts_cols
 
 
+def restore_timestamps(df: DataFrame, ts_cols: set[str]) -> DataFrame:
+    """Consumer-side twin of ``wire_def_for``'s timestamp convention:
+    rebuild the before/after structs casting each epoch-microsecond BIGINT
+    back to TIMESTAMP (pure ``timestamp_micros`` projection). A chained
+    slave applies this before feeding the decoded changelog to
+    ``apply_batch``."""
+    from pyspark.sql import functions as F
+
+    for side in ("before", "after"):
+        fields = df.schema[side].dataType.fields
+        rebuilt = F.struct(
+            *[
+                (
+                    F.timestamp_micros(F.col(f"{side}.{f.name}"))
+                    if f.name in ts_cols
+                    else F.col(f"{side}.{f.name}")
+                ).alias(f.name)
+                for f in fields
+            ]
+        )
+        df = df.withColumn(side, F.when(F.col(side).isNotNull(), rebuilt))
+    return df
+
+
 def encode_wire_changelog(
     changes: DataFrame,
     table: str = "web.pages",
@@ -355,9 +379,11 @@ def encode_wire_changelog(
     `PagesTable.changes_between` changelog as ROWS_EVENT blobs any
     reference-style slave could consume. I → WRITE with the full after
     image; U → UPDATE whose before image carries ONLY the key (MySQL
-    ``binlog_row_image=MINIMAL``); D → DELETE with a key-only image (the
-    used-columns bitmap marks just the key — what MINIMAL row image
-    means on the wire). Envelope positions are synthesized per encode
+    ``binlog_row_image=MINIMAL`` — consumers ignore the before image,
+    reference parity); D → DELETE with the FULL tombstone image (MySQL's
+    default ``binlog_row_image=FULL`` — the tombstone's event-time column
+    must travel or the downstream LWW rank cannot order the delete
+    against earlier row versions). Envelope positions are synthesized per encode
     (a real master assigns them serially at commit; this operator is the
     payload encoder, order still comes from the snapshot pair)."""
     from pyspark.sql import functions as F
@@ -416,9 +442,7 @@ def encode_wire_changelog(
                         used=(key_col,), used_after=all_cols,
                     )
                 elif op == "D":
-                    blob = td.encode_rows_event(
-                        [key_only], "delete", used=(key_col,)
-                    )
+                    blob = td.encode_rows_event([full], "delete")
                 else:  # I
                     blob = td.encode_rows_event([full], "write")
                 blobs.append(blob)
