@@ -118,3 +118,53 @@ def parse_avi(b: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("AVI missing avih/strh headers")
     stack = np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)
     return int(w), int(h), int(fps), stack
+
+
+def parse_avi_meta_and_offsets(b: bytes) -> tuple[int, int, int, list[int]]:
+    """Header probe + frame seek table WITHOUT decoding pixels: reads
+    avih/strh for (w, h, fps) and the idx1 index for each frame chunk's
+    offset (relative to the 'movi' fourcc). Sampling every Nth frame of a
+    long video then decodes ONLY the sampled chunks — O(header + sampled)
+    instead of O(all frames)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI buffer")
+    w = h = fps = None
+    offsets: list[int] = []
+    movi_base = None
+
+    pos, end = 12, 8 + struct.unpack_from("<I", b, 4)[0]
+    stack = [(pos, end)]
+    while stack:
+        lo, hi = stack.pop()
+        p = lo
+        while p + 8 <= hi:
+            cid, clen = struct.unpack_from("<4sI", b, p)
+            body = p + 8
+            if cid == b"LIST":
+                if b[body : body + 4] == b"movi":
+                    movi_base = body  # offsets in idx1 are movi-relative
+                stack.append((body + 4, body + clen))
+            elif cid == b"avih":
+                vals = struct.unpack_from("<10I", b, body)
+                w, h = vals[8], vals[9]
+            elif cid == b"strh" and b[body : body + 4] == b"vids":
+                scale, rate = struct.unpack_from("<II", b, body + 20)
+                fps = rate // max(scale, 1)
+            elif cid == b"idx1":
+                for off in range(body, body + clen, 16):
+                    fourcc, _fl, chunk_off, _sz = struct.unpack_from("<4sIII", b, off)
+                    if fourcc in (b"00db", b"00dc"):
+                        offsets.append(chunk_off)
+            p = body + clen + (clen & 1)
+    if w is None or fps is None or movi_base is None:
+        raise ValueError("AVI missing avih/strh/movi")
+    # idx1 offsets point at each chunk's fourcc, relative to 'movi'
+    return int(w), int(h), int(fps), [movi_base + o + 8 for o in offsets]
+
+
+def read_frame_at(b: bytes, w: int, h: int, data_off: int) -> np.ndarray:
+    """Decode ONE BGR24 DIB frame whose data starts at ``data_off``."""
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(b, np.uint8, stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, 0].copy()

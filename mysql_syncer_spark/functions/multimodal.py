@@ -357,19 +357,21 @@ def sample_video_frames(
     )
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .avi_codec import parse_avi
+        from .avi_codec import parse_avi_meta_and_offsets, read_frame_at
 
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
             for mid, b in zip(pdf[id_col], pdf[bytes_col]):
                 b = bytes(b)
                 if b[:4] == b"RIFF" and b[8:12] == b"AVI ":  # real container
-                    w, h, fps, all_frames = parse_avi(b)
-                    for i in range(0, len(all_frames), every_n):
+                    # idx1 seek table: decode ONLY the sampled frames —
+                    # O(header + sampled), not O(all frames)
+                    w, h, fps, offs = parse_avi_meta_and_offsets(b)
+                    for i in range(0, len(offs), every_n):
                         ids.append(mid)
                         idxs.append(i)
                         tss.append(round(i / fps, 6))
-                        frames.append(all_frames[i].tobytes())
+                        frames.append(read_frame_at(b, w, h, offs[i]).tobytes())
                     continue
                 if b[:4] != b"VID1":
                     raise ValueError("unknown video format (AVI/VID1 supported)")

@@ -69,3 +69,18 @@ def test_spark_frame_sampling_over_real_avi(spark):
     assert all(r["n"] == 16 * 12 for r in got)
     assert {r["frame_idx"] for r in got} == {0, 4, 8, 12, 16, 20}
     assert {r["ts_s"] for r in got if r["frame_idx"] == 4} == {0.5}
+
+
+def test_seek_table_matches_full_decode():
+    rng = np.random.default_rng(17)
+    frames = rng.integers(0, 256, (24, 12, 16), dtype=np.uint8)
+    b = encode_avi(frames, fps=8)
+    from mysql_syncer_spark.functions.avi_codec import (
+        parse_avi_meta_and_offsets,
+        read_frame_at,
+    )
+
+    w, h, fps, offs = parse_avi_meta_and_offsets(b)
+    assert (w, h, fps, len(offs)) == (16, 12, 8, 24)
+    for i in range(0, 24, 4):
+        assert np.array_equal(read_frame_at(b, w, h, offs[i]), frames[i]), i
