@@ -1310,6 +1310,37 @@ def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(df)
 
 
+def q_cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): each click event picks up the
+    same user's latest purchase at-or-before its time — one shuffle on
+    the key (union + window), never a nested-loop join. The build side is
+    pre-aggregated per (user, ts) so tie-breaks are engine-independent;
+    DuckDB's native ASOF JOIN is the oracle."""
+    _ensure_pyfiles(spark)
+    from mysql_syncer_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")  # parquet NTZ → UTC session ts
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    j = asof_join(clicks, purchases, on=["user_id"])
+    return j.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 4).alias("click_value"),
+        F.unix_micros("ts_right").alias("purchase_ts_us"),
+        F.round("pvalue_right", 4).alias("purchase_value"),
+    )
+
+
 def q_mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
     from mysql_syncer_spark.functions.multimodal import (
@@ -1394,7 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count_bpe": q_doc_token_count_bpe,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh,
-        "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard,
+        "cdc_asof_user_purchase": q_cdc_asof_join,
         "doc_lsh_jaccard_verified": q_doc_lsh_jaccard_verified,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_vocab_topk": q_doc_vocab_topk,
@@ -1742,23 +1773,19 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         """,
-        "doc_ngram_jaccard_pairs": f"""
-            {_TOK_CTE},
-            sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
-            blk AS (SELECT doc_id, n_chars FROM documents),
-            inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-                FROM tok a
-                JOIN blk ba ON a.doc_id = ba.doc_id
-                JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
-                JOIN blk bb ON b.doc_id = bb.doc_id AND ba.n_chars = bb.n_chars
-                GROUP BY 1, 2)
-            SELECT doc_a, doc_b, n_inter, sa.n_tok AS n_a, sb.n_tok AS n_b,
-                   round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 4) AS jaccard
-            FROM inter
-            JOIN sizes sa ON doc_a = sa.doc_id
-            JOIN sizes sb ON doc_b = sb.doc_id
-            WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 4) >= 0.2
+        "cdc_asof_user_purchase": """
+            SELECT c.event_id,
+                   c.user_id,
+                   epoch_us(c.ts) AS ts_us,
+                   round(c.value, 4) AS click_value,
+                   epoch_us(p.ts) AS purchase_ts_us,
+                   round(p.pvalue, 4) AS purchase_value
+            FROM (SELECT user_id, event_id, ts, value
+                  FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS pvalue
+                            FROM events WHERE event_type = 'purchase'
+                            GROUP BY 1, 2) p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "doc_lsh_jaccard_verified": f"""
             {_TOK_CTE}, {sig_sql},

@@ -41,7 +41,7 @@ def asof_join(
     or microseconds for timestamps) drops matches staler than the bound.
     Right payload columns arrive suffixed; unmatched left rows keep NULLs
     (left-outer semantics, like pandas merge_asof)."""
-    lcols = [c for c in left.columns if c not in on]
+    lcols = [c for c in left.columns if c not in on and c != left_ts]
     rcols = [c for c in right.columns if c not in on and c != right_ts]
     r_struct = F.struct(
         F.col(right_ts).alias("_rts"), *[F.col(c) for c in rcols]
