@@ -56,13 +56,27 @@ def distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).filter(F.col("token") != "")
 
 
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """Input splits follow parquet row groups: a small-file scan can be ONE
+    task even though the downstream compute (explode + k hashes per token)
+    is the expensive part. When the scan has fewer partitions than cores,
+    spread rows first — the extra exchange moves only the raw rows, tiny
+    next to the per-token work it unlocks. Inputs with enough splits (any
+    real 100 TB table) pass through untouched."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
 ) -> DataFrame:
     """K-permutation MinHash via min(md5(seed||token)) — the md5 of a
     seeded token is a uniform 128-bit draw; the min over a doc's token set
     is the classic MinHash estimator. Output: id, mh0..mh{k-1}."""
-    toks = distinct_tokens(df, id_col, text_col)
+    toks = distinct_tokens(_spread_small_scan(df), id_col, text_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"mh{i}|"), F.col("token")))).alias(f"mh{i}")
         for i in range(k)
@@ -77,7 +91,14 @@ def lsh_candidate_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Band the signature (rows_per_band = k/bands), bucket-join docs that
-    collide in ANY band. Output: doc_a < doc_b candidate pairs (distinct)."""
+    collide in ANY band. Output: doc_a < doc_b candidate pairs (distinct).
+
+    The signature table is localCheckpoint-ed (lazily — laziness of the
+    returned plan is preserved) before the self-join: otherwise BOTH join
+    sides re-run the full signature lineage (tokenize + k hashes over the
+    corpus). At scale you'd persist signatures to a table first; the
+    checkpoint is the in-query equivalent."""
+    signatures = signatures.localCheckpoint(eager=False)
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
