@@ -303,7 +303,9 @@ def simhash(
     aggregates, all codegen. md5-derived bits keep the signature
     engine-portable (DuckDB parses the same hex groups).
     Output: id, simhash (long)."""
-    toks = distinct_tokens(df, id_col, text_col).withColumn("h", F.md5("token"))
+    toks = distinct_tokens(_spread_small_scan(df), id_col, text_col).withColumn(
+        "h", F.md5("token")
+    )
     # two 32-bit group values per token feed all 64 vote expressions
     digits = toks.select(
         id_col,
