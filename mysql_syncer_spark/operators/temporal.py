@@ -135,3 +135,102 @@ def range_join(
     return inner.select(*points.columns, *ranges.columns).unionByName(
         unmatched.select(*points.columns, *ranges.columns)
     )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    bucket_width: int = 3600,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Scale-hardened as-of join: ``asof_join`` windows by key alone, so a
+    hot key sorts ALL its rows in one task. This variant partitions the
+    window by (key, time-bucket): the big sort is bounded by bucket
+    population, and the only per-key-global step is a carry computed at
+    BUCKET granularity (#buckets rows per key, not #rows).
+
+    Pass 1: per (key, bucket) take the build row with max time; cumulate
+    across buckets (a window over the tiny per-bucket frame, shifted by
+    one so a bucket carries in the latest build row STRICTLY BEFORE it).
+    Pass 2: union probe rows + build rows + carry rows, window within
+    (key, bucket). Numeric timestamps only (cast timestamps to
+    unix_micros first); results equal ``asof_join`` exactly
+    (differential-tested)."""
+    bkt = lambda c: F.floor(F.col(c) / bucket_width).alias("_bkt")
+    lcols = [c for c in left.columns if c not in on and c != left_ts]
+    rcols = [c for c in right.columns if c not in on and c != right_ts]
+    r_struct = F.struct(F.col(right_ts).alias("_rts"), *[F.col(c) for c in rcols])
+    r_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
+
+    rb = right.select(*on, F.col(right_ts).alias("_t"), r_struct.alias("_r"), bkt(right_ts))
+    # pass 1: per-bucket max build row, then carry = previous buckets' last.
+    # The carry frame must cover EVERY bucket either side touches — a
+    # probe-only bucket still needs the latest build from earlier buckets.
+    per_bucket = rb.groupBy(*on, "_bkt").agg(
+        F.max_by("_r", F.col("_t")).alias("_last_in_bucket")
+    )
+    all_buckets = (
+        left.select(*on, bkt(left_ts))
+        .unionByName(rb.select(*on, "_bkt"))
+        .distinct()
+    )
+    wc = (
+        Window.partitionBy(*on)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)  # strictly before
+    )
+    carries = (
+        all_buckets.join(per_bucket, [*on, "_bkt"], "left")
+        .select(
+            *on,
+            F.col("_bkt"),
+            F.last("_last_in_bucket", ignorenulls=True).over(wc).alias("_carry"),
+        )
+        .filter(F.col("_carry").isNotNull())
+    )
+
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("_t"),
+        F.lit(2).alias("_tag"),  # probe rows sort after builds at equal t
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        F.lit(None).cast(r_type).alias("_r"),
+        bkt(left_ts),
+    )
+    r_tagged = rb.select(
+        *on,
+        "_t",
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
+        "_r",
+        "_bkt",
+    )
+    # carry rows enter their bucket BEFORE everything in it
+    c_tagged = carries.select(
+        *on,
+        F.lit(None).cast(r_tagged.schema["_t"].dataType).alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast(l_tagged.schema["_l"].dataType).alias("_l"),
+        F.col("_carry").alias("_r"),
+        F.col("_bkt"),
+    )
+    u = l_tagged.unionByName(r_tagged).unionByName(c_tagged)
+    w = (
+        Window.partitionBy(*on, "_bkt")
+        .orderBy(F.col("_tag") != 0, F.col("_t").asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 2)
+    )
+    return matched.select(
+        *on,
+        F.col("_t").alias(left_ts),
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        F.col("_m._rts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in rcols],
+    )

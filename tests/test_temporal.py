@@ -98,3 +98,40 @@ def test_range_join_inner_left_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_bucketed_differential(spark):
+    """asof_join_bucketed equals asof_join on random data (unique ts per
+    key so tie-order cannot differ), across bucket widths including ones
+    smaller and larger than typical gaps."""
+    from mysql_syncer_spark.operators.temporal import asof_join_bucketed
+
+    rng = np.random.default_rng(21)
+    keys = [f"k{i}" for i in range(6)]
+    quotes, trades = [], []
+    for k in keys:
+        ts_pool = rng.permutation(20_000)[:300]  # unique per key
+        quotes += [(k, int(t), float(round(rng.normal(100, 5), 2)))
+                   for t in ts_pool[:150]]
+        trades += [(k, int(t), int(rng.integers(1, 9)))
+                   for t in ts_pool[150:]]
+    ldf = spark.createDataFrame(trades, "key string, ts long, qty int")
+    rdf = spark.createDataFrame(quotes, "key string, ts long, px double")
+
+    base = {(r["key"], r["ts"]): (r["ts_right"], r["px_right"])
+            for r in asof_join(ldf, rdf, on=["key"]).collect()}
+    for width in (100, 3600, 1_000_000):
+        got = {
+            (r["key"], r["ts"]): (r["ts_right"], r["px_right"])
+            for r in asof_join_bucketed(
+                ldf, rdf, on=["key"], bucket_width=width
+            ).collect()
+        }
+        assert got == base, width
+
+    # the big window partitions by (key, bucket), not key alone
+    plan = (
+        asof_join_bucketed(ldf, rdf, on=["key"], bucket_width=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_bkt" in plan
