@@ -84,6 +84,84 @@ def minhash_signatures(
     return toks.groupBy(id_col).agg(*aggs)
 
 
+def minhash_bands(
+    signatures: DataFrame, id_col: str = "doc_id", k: int = 8, bands: int = 4
+) -> DataFrame:
+    """(id, band, key) rows — the persistable LSH index: rows_per_band =
+    k/bands signature slots hash into each band key. Write this table
+    bucketed by (band, key) and incremental dedup becomes an equi-join of
+    new docs' bands against it (see incremental_near_duplicates)."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def incremental_near_duplicates(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental dedup — the streaming-corpus shape at 100 TB, where the
+    accepted corpus is NEVER re-deduped. ``band_index`` is the persisted
+    (doc_id, band, key) table from :func:`minhash_bands`, written once and
+    appended per accepted batch (store it bucketed by (band, key) so this
+    join needs no index-side shuffle). Each incoming batch is signatured,
+    banded, then checked two ways:
+
+    - against the index: an equi-join on (band, key) — cost is
+      O(batch_bands + touched buckets), independent of corpus size;
+    - within the batch: the usual banded self-join, so a batch that
+      contains its own duplicates is caught before any of them is indexed.
+
+    Output: doc_id (new doc), dup_of (matched indexed doc, or the earlier
+    new doc with the smaller id), src ('index' | 'batch'), distinct.
+    Candidates only — verify with exact Jaccard downstream exactly as in
+    :func:`verified_near_duplicates`; accepted survivors' bands get
+    appended to the index."""
+    sigs = minhash_signatures(new_docs, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
+    banded = minhash_bands(sigs, id_col=id_col, k=k, bands=bands)
+    n = banded.alias("n")
+    ix = band_index.alias("ix")
+    vs_index = (
+        n.join(
+            ix,
+            (F.col("n.band") == F.col("ix.band")) & (F.col("n.key") == F.col("ix.key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("doc_id"),
+            F.col(f"ix.{id_col}").alias("dup_of"),
+            F.lit("index").alias("src"),
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    vs_batch = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id"),
+            F.col(f"b.{id_col}").alias("dup_of"),
+            F.lit("batch").alias("src"),
+        )
+    )
+    return vs_index.unionByName(vs_batch).distinct()
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -99,16 +177,7 @@ def lsh_candidate_pairs(
     corpus). At scale you'd persist signatures to a table first; the
     checkpoint is the in-query equivalent."""
     signatures = signatures.localCheckpoint(eager=False)
-    rows_per_band = k // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key"))
-        )
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, "bk.band", "bk.key")
+    banded = minhash_bands(signatures, id_col=id_col, k=k, bands=bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
