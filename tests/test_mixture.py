@@ -1,0 +1,138 @@
+"""Mixing / splitting / sequence packing: hand truth, invariants, and
+DuckDB SQL parity on the real documents table (md5-hex draws are
+engine-portable, so parity is exact)."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.functions.mixture import (
+    hash_split,
+    mixture_sample,
+    pack_sequences,
+    threshold_hex,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    docs = _docs(spark)
+    full = {r["doc_id"]: r["split"] for r in hash_split(docs, 0.2).collect()}
+    again = {r["doc_id"]: r["split"] for r in hash_split(docs, 0.2).collect()}
+    assert full == again
+    # membership depends only on (seed, id): a subset of the corpus splits
+    # identically — no leakage when data arrives late
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.filter(F.col("doc_id") % 3 == 0), 0.2).collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+    frac = sum(1 for v in full.values() if v == "holdout") / len(full)
+    assert 0.1 < frac < 0.3  # 500 docs, p=0.2
+
+
+def test_mixture_sample_epochs(spark):
+    docs = _docs(spark)
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    out = mixture_sample(docs, {"src0": 2.5, "src1": 0.4}, default_rate=0.0)
+    rows = out.select("doc_id", "source", "n_copies").collect()
+    # unlisted domains dropped entirely
+    assert {r["source"] for r in rows} == {"src0", "src1"}
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_copies"])
+    # src0: every doc kept, 2 or 3 copies, ~half get the 3rd epoch
+    assert len(by_src["src0"]) == n_src0
+    assert set(by_src["src0"]) <= {2, 3}
+    third = sum(1 for c in by_src["src0"] if c == 3) / n_src0
+    assert 0.3 < third < 0.7
+    # src1: downsampled to ~40 %, single copies
+    assert set(by_src["src1"]) == {1}
+
+
+def test_mixture_matches_duckdb(spark):
+    rates = {"src0": 2.5, "src1": 0.4, "src2": 1.0}
+    got = {
+        (r["doc_id"], r["n_copies"])
+        for r in mixture_sample(_docs(spark), rates, default_rate=0.25)
+        .select("doc_id", "n_copies")
+        .collect()
+    }
+    whole_case = (
+        "CASE source "
+        + " ".join(f"WHEN '{d}' THEN {int(r)}" for d, r in rates.items())
+        + " ELSE 0 END"
+    )
+    thr_case = (
+        "CASE source "
+        + " ".join(
+            f"WHEN '{d}' THEN '{threshold_hex(r - int(r))}'" for d, r in rates.items()
+        )
+        + f" ELSE '{threshold_hex(0.25)}' END"
+    )
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{SF}/documents.parquet'")
+    oracle = con.execute(f"""
+        SELECT doc_id, n_copies FROM (
+            SELECT doc_id,
+                   ({whole_case}
+                    + CASE WHEN substr(md5('mix1|' || doc_id::VARCHAR), 1, 13)
+                                < {thr_case}
+                           THEN 1 ELSE 0 END)::BIGINT AS n_copies
+            FROM documents)
+        WHERE n_copies >= 1
+    """).fetchall()
+    assert got == set(oracle) and len(got) > 100
+
+
+def test_pack_sequences_invariants(spark):
+    out = pack_sequences(_docs(spark), budget=512).collect()
+    by_group: dict[str, list] = {}
+    for r in out:
+        by_group.setdefault(r["pack_group"], []).append(r)
+    assert len(by_group) > 50  # 500 docs spread over 256 hex groups
+    for rows in by_group.values():
+        rows.sort(key=lambda r: r["start_tok"])
+        run = 0
+        for r in rows:
+            assert r["start_tok"] == run  # contiguous stream per group
+            assert r["shard_idx"] == run // 512
+            run += r["n_tokens"]
+
+
+def test_pack_sequences_matches_duckdb(spark):
+    got = {
+        (r["doc_id"], r["pack_group"], r["shard_idx"], r["start_tok"], r["n_tokens"])
+        for r in pack_sequences(_docs(spark), budget=512).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{SF}/documents.parquet'")
+    oracle = con.execute(r"""
+        WITH t AS (
+            SELECT doc_id, md5('pack1|' || doc_id::VARCHAR) AS h,
+                   len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+            FROM documents),
+        b AS (SELECT doc_id, substr(h, 1, 2) AS pack_group,
+                     substr(h, 3, 30) AS ord, n_tokens FROM t)
+        SELECT doc_id, pack_group,
+               (sum(n_tokens) OVER w - n_tokens) // 512 AS shard_idx,
+               (sum(n_tokens) OVER w - n_tokens) AS start_tok,
+               n_tokens
+        FROM b
+        WINDOW w AS (PARTITION BY pack_group ORDER BY ord, doc_id
+                     ROWS UNBOUNDED PRECEDING)
+    """).fetchall()
+    assert got == set(oracle)
+
+
+def test_mixture_plan_is_map_only(spark):
+    """Mixing must never shuffle: the physical plan of mixture_sample +
+    hash_split over a parquet scan contains no Exchange at all."""
+    df = hash_split(mixture_sample(_docs(spark), {"src0": 1.5}), 0.1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEval" not in plan
