@@ -243,6 +243,50 @@ def vocabulary(
     )
 
 
+def unigram_nll(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-relative unigram negative log-likelihood per document — the
+    CCNet-style LM quality proxy with the corpus itself as the model:
+    nll = ln(total_tokens) - avg over the doc's token OCCURRENCES of
+    ln(count(token)). Low = built from common tokens (typical text);
+    high = rare-token salad. The usual pipeline drops the tails of the
+    nll distribution (boilerplate at the bottom, garbage at the top).
+
+    Shape: two partial-agg'd shuffles (vocab count; per-doc avg) and one
+    equi-join on token. The join's hot keys ('the') are exactly the skew
+    AQE's skew-join split handles, and Spark broadcasts the vocab side
+    outright when it is small. The exploded token stream feeds both the
+    vocab aggregate and the join, so it is lazily localCheckpoint-ed —
+    at persistent scale you'd materialize the vocab table once per
+    corpus snapshot instead.
+    Output: id, n_tokens (occurrences), nll (rounded 4)."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .localCheckpoint(eager=False)
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(vocab, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log("cnt")).alias("_avg_ln_cnt"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.log("total") - F.col("_avg_ln_cnt"), 4).alias("nll"),
+        )
+    )
+
+
 def normalized_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 

@@ -137,3 +137,46 @@ def test_repetition_features_gopher(spark):
     # n-gram aggregations
     plan = with_repetition_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_unigram_nll_hand_truth(spark):
+    import math
+
+    from mysql_syncer_spark.functions.text import unigram_nll
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # counts: a=2, b=2, c=1, total=5
+    got = {r["doc_id"]: (r["n_tokens"], r["nll"]) for r in unigram_nll(df).collect()}
+    nll1 = round(math.log(5) - (2 * math.log(2) + math.log(2)) / 3, 4)
+    nll2 = round(math.log(5) - (math.log(2) + math.log(1)) / 2, 4)
+    assert got == {1: (3, nll1), 2: (2, nll2)}
+
+
+def test_unigram_nll_matches_duckdb(spark):
+    import duckdb
+
+    from mysql_syncer_spark.functions.text import unigram_nll
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r["doc_id"], r["n_tokens"], r["nll"]) for r in unigram_nll(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{sf}/documents.parquet'")
+    oracle = con.execute(r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+            FROM documents),
+        tok AS (SELECT * FROM toks WHERE token <> ''),
+        vocab AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+        tot AS (SELECT sum(cnt) AS total FROM vocab)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               round(ln(total) - avg(ln(cnt)), 4) AS nll
+        FROM tok JOIN vocab USING (token), tot
+        GROUP BY doc_id, total
+    """).fetchall()
+    assert got == set(oracle) and len(got) == 500
