@@ -107,6 +107,38 @@ def mixture_sample(
     return out.filter(F.col("n_copies") >= 1)
 
 
+def quality_buckets(
+    df: DataFrame,
+    score_col: str,
+    by: str = "source",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    ascending_is_better: bool = True,
+) -> DataFrame:
+    """CCNet-style per-domain quality bucketing: label each doc head /
+    middle / tail by the PERCENT RANK of its quality score within its
+    domain (ascending = better by default, matching perplexity-like
+    scores such as :func:`~mysql_syncer_spark.functions.text.unigram_nll`
+    where low is typical text). Rank-based, not value-interpolated, so
+    ties are handled identically in any engine and parity is exact.
+
+    Adds ``q_rank`` (percent_rank, rounded 6) and ``bucket``. This exact
+    form sorts each domain in one window partition — fine up to the
+    largest domain a task can sort. The 100 TB shape is the 2-pass twin:
+    aggregate per-domain cutoff scores with approx_percentile (one tiny
+    result), broadcast them back, label map-only; this rank-exact form
+    is its oracle at test scale."""
+    order = F.col(score_col) if ascending_is_better else F.col(score_col).desc()
+    w = Window.partitionBy(by).orderBy(order)
+    pr = F.round(F.percent_rank().over(w), 6)
+    lo, hi = cuts
+    return df.withColumn("q_rank", pr).withColumn(
+        "bucket",
+        F.when(F.col("q_rank") < lo, F.lit("head"))
+        .when(F.col("q_rank") < hi, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -136,3 +136,62 @@ def test_mixture_plan_is_map_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_quality_buckets_hand_truth(spark):
+    from mysql_syncer_spark.functions.mixture import quality_buckets
+
+    df = spark.createDataFrame(
+        [(i, "d", float(i)) for i in range(1, 7)],
+        "doc_id long, source string, score double",
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in quality_buckets(df, "score").collect()
+    }
+    # percent_rank over 6 rows = (i-1)/5
+    assert got == {1: "head", 2: "head", 3: "middle", 4: "middle",
+                   5: "tail", 6: "tail"}
+    desc = {
+        r["doc_id"]: r["bucket"]
+        for r in quality_buckets(df, "score", ascending_is_better=False).collect()
+    }
+    assert desc == {6: "head", 5: "head", 4: "middle", 3: "middle",
+                    2: "tail", 1: "tail"}
+
+
+def test_quality_buckets_match_duckdb(spark):
+    from mysql_syncer_spark.functions.mixture import quality_buckets
+    from mysql_syncer_spark.functions.text import unigram_nll
+
+    docs = _docs(spark)
+    scored = unigram_nll(docs).join(docs.select("doc_id", "source"), "doc_id")
+    got = {
+        (r["doc_id"], r["q_rank"], r["bucket"])
+        for r in quality_buckets(scored, "nll").collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{SF}/documents.parquet'")
+    lo, hi = 1.0 / 3.0, 2.0 / 3.0
+    oracle = con.execute(rf"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+            FROM documents),
+        tok AS (SELECT * FROM toks WHERE token <> ''),
+        vocab AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+        tot AS (SELECT sum(cnt) AS total FROM vocab),
+        nll AS (
+            SELECT doc_id, round(ln(total) - avg(ln(cnt)), 4) AS nll
+            FROM tok JOIN vocab USING (token), tot GROUP BY doc_id, total),
+        ranked AS (
+            SELECT d.doc_id, round(percent_rank() OVER (
+                       PARTITION BY d.source ORDER BY n.nll), 6) AS q_rank
+            FROM documents d JOIN nll n USING (doc_id))
+        SELECT doc_id, q_rank,
+               CASE WHEN q_rank < {lo!r} THEN 'head'
+                    WHEN q_rank < {hi!r} THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ranked
+    """).fetchall()
+    assert got == set(oracle) and len(got) == 500
