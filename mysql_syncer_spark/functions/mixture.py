@@ -139,6 +139,37 @@ def quality_buckets(
     )
 
 
+def quality_buckets_2pass(
+    df: DataFrame,
+    score_col: str,
+    by: str = "source",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB twin of :func:`quality_buckets`: pass 1 aggregates
+    per-domain cutoff scores with approx_percentile (partial-combined —
+    one tiny row per domain reaches the driver side of the plan), pass 2
+    broadcast-joins them back and labels MAP-ONLY. No domain is ever
+    sorted in one task, so the largest domain can be the whole corpus.
+    Buckets agree with the rank-exact form except within the sketch's
+    rank-error band around each cutoff (tested). Adds ``bucket``."""
+    lo, hi = cuts
+    cutoffs = df.groupBy(by).agg(
+        F.percentile_approx(score_col, lo, accuracy).alias("_cut_lo"),
+        F.percentile_approx(score_col, hi, accuracy).alias("_cut_hi"),
+    )
+    return (
+        df.join(F.broadcast(cutoffs), by)
+        .withColumn(
+            "bucket",
+            F.when(F.col(score_col) < F.col("_cut_lo"), F.lit("head"))
+            .when(F.col(score_col) < F.col("_cut_hi"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("_cut_lo", "_cut_hi")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

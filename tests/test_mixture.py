@@ -195,3 +195,44 @@ def test_quality_buckets_match_duckdb(spark):
         FROM ranked
     """).fetchall()
     assert got == set(oracle) and len(got) == 500
+
+
+def test_quality_buckets_2pass_agrees_with_exact(spark):
+    """The scale twin must agree with the rank-exact form away from the
+    cutoff boundaries; at full accuracy the sketch is exact, so any
+    disagreement is confined to ties AT a cutoff value."""
+    from mysql_syncer_spark.functions.mixture import (
+        quality_buckets,
+        quality_buckets_2pass,
+    )
+    from mysql_syncer_spark.functions.text import unigram_nll
+
+    docs = _docs(spark)
+    scored = unigram_nll(docs).join(docs.select("doc_id", "source"), "doc_id")
+    exact = {
+        r["doc_id"]: r["bucket"] for r in quality_buckets(scored, "nll").collect()
+    }
+    twopass = {
+        r["doc_id"]: r["bucket"]
+        for r in quality_buckets_2pass(scored, "nll").collect()
+    }
+    assert set(exact) == set(twopass)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    disagree = [k for k in exact if exact[k] != twopass[k]]
+    # boundary ties may land one bucket apart, never two, and few
+    assert all(abs(order[exact[k]] - order[twopass[k]]) == 1 for k in disagree)
+    assert len(disagree) < len(exact) * 0.1
+
+
+def test_quality_buckets_2pass_plan(spark):
+    """Pass 2 is label-only: after the cutoff aggregate, the corpus side
+    sees one BroadcastHashJoin and no sort of the data by score."""
+    from mysql_syncer_spark.functions.mixture import quality_buckets_2pass
+
+    docs = _docs(spark).withColumn("score", F.col("n_chars").cast("double"))
+    plan = (
+        quality_buckets_2pass(docs, "score")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Sort" not in plan, plan
