@@ -1,0 +1,200 @@
+"""Append-only deduplicating corpus table — CDC ingest applied to webtext.
+
+The pages sink replicates a keyed table; a training corpus is the other
+ingest shape the same machinery serves: append-only batches of documents
+where the "merge" rule is near-duplicate suppression against everything
+already accepted. This sink reuses the engine's commit protocol
+(versioned manifest, exclusive version claim — same hardlink
+create-if-absent as `pages_table.PagesTable._commit` — and a batch-id
+ledger, so re-delivered batches are committed no-ops) together with the
+dedup operators' persisted band index (`dedup_text.minhash_bands` /
+`incremental_near_duplicates`). Per-batch cost is O(batch + touched band
+buckets), never O(corpus): the accepted corpus is never re-signatured,
+only its band table is equi-joined.
+
+Reference tie-in: the at-least-once → idempotent-apply contract is the
+reference's slave loop (rs_redis_thread.c:10-85, apply before throttled
+checkpoint flush) — here the "table handler" is the dedup gate and the
+checkpoint is the manifest ledger.
+
+Rejection semantics (greedy, standard LSH ingest): a new doc is rejected
+if any band key collides with an ACCEPTED doc from a previous batch, or
+with ANY earlier-id doc of its own batch (even one itself rejected —
+candidates, not verified pairs, drive the gate; run
+`verified_near_duplicates` offline when exact-Jaccard confirmation is
+wanted). Within a dup chain the smallest id wins, matching
+`exact_duplicates`' keeper rule.
+
+Streaming: call ``apply_batch(batch_id, df)`` from ``foreachBatch`` —
+the ledger makes micro-batch re-delivery exactly-once in final state,
+the same contract the pages sink proves in test_streaming.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.functions.dedup_text import (
+    incremental_near_duplicates,
+    minhash_bands,
+    minhash_signatures,
+)
+from mysql_syncer_spark.sink.pages_table import CommitConflictError
+
+
+@dataclass
+class CorpusManifest:
+    version: int
+    k: int
+    bands: int
+    id_col: str
+    text_col: str
+    doc_files: list = field(default_factory=list)  # relpaths, commit order
+    band_files: list = field(default_factory=list)
+    committed_batches: list = field(default_factory=list)
+    n_docs: int = 0
+    n_rejected: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "CorpusManifest":
+        return CorpusManifest(**json.loads(s))
+
+
+class CorpusTable:
+    """A deduplicated document corpus with ledgered atomic commits."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- manifest protocol (same shape as PagesTable) -------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        k: int = 8,
+        bands: int = 4,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "CorpusTable":
+        os.makedirs(os.path.join(path, "_versions"), exist_ok=True)
+        os.makedirs(os.path.join(path, "docs"), exist_ok=True)
+        os.makedirs(os.path.join(path, "bands"), exist_ok=True)
+        t = cls(spark, path)
+        t._commit(
+            CorpusManifest(
+                version=0, k=k, bands=bands, id_col=id_col, text_col=text_col
+            )
+        )
+        return t
+
+    def manifest(self) -> CorpusManifest:
+        vdir = os.path.join(self.path, "_versions")
+        with open(os.path.join(vdir, "CURRENT")) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(vdir, f"v{version:08d}.json")) as f:
+            return CorpusManifest.from_json(f.read())
+
+    def _commit(self, m: CorpusManifest) -> None:
+        vdir = os.path.join(self.path, "_versions")
+        mpath = os.path.join(vdir, f"v{m.version:08d}.json")
+        tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(m.to_json())
+        try:
+            os.link(tmp, mpath)  # atomic create-if-absent
+        except FileExistsError:
+            raise CommitConflictError(m.version)
+        finally:
+            os.unlink(tmp)
+        cur = os.path.join(vdir, "CURRENT")
+        try:
+            with open(cur) as f:
+                if int(f.read().strip()) >= m.version:
+                    return
+        except (FileNotFoundError, ValueError):
+            pass
+        tmp = cur + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(m.version))
+        os.rename(tmp, cur)
+
+    # -- reads ----------------------------------------------------------
+    def read(self) -> DataFrame:
+        m = self.manifest()
+        if not m.doc_files:
+            return self.spark.createDataFrame(
+                [], f"{m.id_col} long, {m.text_col} string"
+            )
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, p) for p in m.doc_files]
+        )
+
+    def band_index(self, m: CorpusManifest | None = None) -> DataFrame:
+        m = m or self.manifest()
+        if not m.band_files:
+            return self.spark.createDataFrame(
+                [], f"{m.id_col} long, band int, key string"
+            )
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, p) for p in m.band_files]
+        )
+
+    # -- ingest ---------------------------------------------------------
+    def apply_batch(self, batch_id: str, docs: DataFrame) -> dict:
+        """Dedup-gate and append one batch atomically. Re-delivery of a
+        committed batch_id is a no-op (ledger). Data files land before
+        the manifest references them — a crash in between leaves only
+        unreferenced orphans (vacuum territory), never a partial commit."""
+        m = self.manifest()
+        if batch_id in m.committed_batches:
+            return {"batch_id": batch_id, "skipped": True}
+        docs = docs.select(m.id_col, m.text_col)
+        cands = incremental_near_duplicates(
+            docs,
+            self.band_index(m),
+            id_col=m.id_col,
+            text_col=m.text_col,
+            k=m.k,
+            bands=m.bands,
+        )
+        accepted = docs.join(
+            cands.select(m.id_col).distinct(), m.id_col, "left_anti"
+        )
+        # one pass over the accepted docs computes both outputs
+        accepted = accepted.localCheckpoint(eager=False)
+        bands_df = minhash_bands(
+            minhash_signatures(accepted, m.id_col, m.text_col, m.k),
+            id_col=m.id_col,
+            k=m.k,
+            bands=m.bands,
+        )
+        drel = os.path.join("docs", f"{batch_id}.parquet")
+        brel = os.path.join("bands", f"{batch_id}.parquet")
+        accepted.write.mode("overwrite").parquet(os.path.join(self.path, drel))
+        bands_df.write.mode("overwrite").parquet(os.path.join(self.path, brel))
+        n_total = docs.count()
+        n_acc = self.spark.read.parquet(os.path.join(self.path, drel)).count()
+        m.version += 1
+        m.doc_files.append(drel)
+        m.band_files.append(brel)
+        m.committed_batches.append(batch_id)
+        m.n_docs += n_acc
+        m.n_rejected += n_total - n_acc
+        self._commit(m)
+        return {
+            "batch_id": batch_id,
+            "skipped": False,
+            "accepted": n_acc,
+            "rejected": n_total - n_acc,
+        }

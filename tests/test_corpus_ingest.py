@@ -1,0 +1,87 @@
+"""CorpusTable: batched document ingest with online near-dup suppression,
+ledgered exactly-once commits. Ground truth = a sequential greedy fold in
+plain Python over the full-corpus LSH collision relation (which is
+split-invariant: signatures depend only on each doc's own text)."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.functions.dedup_text import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from mysql_syncer_spark.sink.corpus_table import CorpusTable
+
+SF = "/root/testdata/sf0.01"
+
+
+def _batches(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    return docs, [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+
+def test_corpus_ingest_matches_sequential_greedy(spark):
+    docs, batches = _batches(spark)
+    tbl = CorpusTable.create(spark, tempfile.mkdtemp() + "/corpus")
+    results = [
+        tbl.apply_batch(f"b{i}", b) for i, b in enumerate(batches)
+    ]
+    assert all(not r["skipped"] for r in results)
+    got = {r["doc_id"] for r in tbl.read().select("doc_id").collect()}
+
+    # oracle: greedy fold over the symmetric collision relation
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    collide: dict[int, set] = {}
+    for r in pairs:
+        collide.setdefault(r["doc_a"], set()).add(r["doc_b"])
+        collide.setdefault(r["doc_b"], set()).add(r["doc_a"])
+    accepted: set = set()
+    order = [
+        sorted(r["doc_id"] for r in b.select("doc_id").collect())
+        for b in batches
+    ]
+    for batch in order:
+        bset = set(batch)
+        for d in batch:
+            nbrs = collide.get(d, set())
+            # reject on: collision with an accepted doc of an EARLIER
+            # batch, or with ANY earlier-id doc of the same batch
+            if (nbrs & (accepted - bset)) or any(
+                o < d for o in nbrs if o in bset
+            ):
+                continue
+            accepted.add(d)
+    assert got == accepted
+    m = tbl.manifest()
+    assert m.n_docs == len(accepted)
+    assert m.n_rejected == docs.count() - len(accepted)
+    assert 0 < m.n_rejected < docs.count()  # the corpus has real near-dups
+
+
+def test_corpus_ingest_redelivery_is_noop(spark):
+    _, batches = _batches(spark)
+    tbl = CorpusTable.create(spark, tempfile.mkdtemp() + "/corpus")
+    tbl.apply_batch("b0", batches[0])
+    r1 = tbl.apply_batch("b1", batches[1])
+    v = tbl.manifest().version
+    n = tbl.read().count()
+    again = tbl.apply_batch("b1", batches[1])
+    assert again["skipped"] and not r1["skipped"]
+    assert tbl.manifest().version == v
+    assert tbl.read().count() == n
+
+
+def test_corpus_ingest_band_index_grows_with_accepted_only(spark):
+    _, batches = _batches(spark)
+    tbl = CorpusTable.create(spark, tempfile.mkdtemp() + "/corpus")
+    tbl.apply_batch("b0", batches[0])
+    m = tbl.manifest()
+    # 4 bands per accepted doc, nothing for rejected ones
+    assert tbl.band_index().count() == m.n_docs * 4
+    ids_in_index = {
+        r["doc_id"] for r in tbl.band_index().select("doc_id").distinct().collect()
+    }
+    assert ids_in_index == {
+        r["doc_id"] for r in tbl.read().select("doc_id").collect()
+    }
