@@ -19,11 +19,12 @@ checkpoint is the manifest ledger.
 
 Rejection semantics (greedy, standard LSH ingest): a new doc is rejected
 if any band key collides with an ACCEPTED doc from a previous batch, or
-with ANY earlier-id doc of its own batch (even one itself rejected —
-candidates, not verified pairs, drive the gate; run
-`verified_near_duplicates` offline when exact-Jaccard confirmation is
-wanted). Within a dup chain the smallest id wins, matching
-`exact_duplicates`' keeper rule.
+with ANY earlier-id doc of its own batch (even one itself rejected).
+Within a dup chain the smallest id wins, matching `exact_duplicates`'
+keeper rule. With ``verify_jaccard`` set at create, candidacy alone does
+not reject: the pair must also pass EXACT token-set Jaccard — the verify
+join reads only the MATCHED accepted docs' text (O(candidates), never
+O(corpus)). Doc ids must be globally unique across batches.
 
 Streaming: call ``apply_batch(batch_id, df)`` from ``foreachBatch`` —
 the ledger makes micro-batch re-delivery exactly-once in final state,
@@ -41,11 +42,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mysql_syncer_spark.functions.dedup_text import (
+    distinct_tokens,
     incremental_near_duplicates,
     minhash_bands,
     minhash_signatures,
 )
 from mysql_syncer_spark.sink.pages_table import CommitConflictError
+
+
+def _verified_reject_ids(
+    cands: DataFrame, union_docs: DataFrame, id_col: str, text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """doc_ids whose candidate pair survives EXACT token-set Jaccard >=
+    threshold. ``union_docs`` holds the text of both endpoints (new batch
+    + only the MATCHED accepted docs — the verify read is O(candidates),
+    never O(corpus)). Same verify join as verified_near_duplicates."""
+    toks = distinct_tokens(union_docs, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = cands.select(id_col, "dup_of").distinct()
+    inter = (
+        pairs.join(a, pairs[id_col] == F.col(f"a.{id_col}"))
+        .join(
+            b,
+            (pairs.dup_of == F.col(f"b.{id_col}"))
+            & (F.col("a.token") == F.col("b.token")),
+        )
+        .groupBy(pairs[id_col].alias("_id"), "dup_of")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.withColumnsRenamed({id_col: "_id", "n_tok": "n_a"}), "_id"
+        )
+        .join(
+            sizes.withColumnsRenamed({id_col: "dup_of", "n_tok": "n_b"}),
+            "dup_of",
+        )
+        .filter(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= threshold
+        )
+    )
+    return out.select(F.col("_id").alias(id_col)).distinct()
 
 
 @dataclass
@@ -55,6 +98,10 @@ class CorpusManifest:
     bands: int
     id_col: str
     text_col: str
+    # None → reject on LSH candidacy alone; a float → reject only pairs
+    # whose EXACT token-set Jaccard meets it (table-level so every writer
+    # applies the same gate)
+    verify_jaccard: float | None = None
     doc_files: list = field(default_factory=list)  # relpaths, commit order
     band_files: list = field(default_factory=list)
     committed_batches: list = field(default_factory=list)
@@ -86,6 +133,7 @@ class CorpusTable:
         bands: int = 4,
         id_col: str = "doc_id",
         text_col: str = "text",
+        verify_jaccard: float | None = None,
     ) -> "CorpusTable":
         os.makedirs(os.path.join(path, "_versions"), exist_ok=True)
         os.makedirs(os.path.join(path, "docs"), exist_ok=True)
@@ -93,7 +141,12 @@ class CorpusTable:
         t = cls(spark, path)
         t._commit(
             CorpusManifest(
-                version=0, k=k, bands=bands, id_col=id_col, text_col=text_col
+                version=0,
+                k=k,
+                bands=bands,
+                id_col=id_col,
+                text_col=text_col,
+                verify_jaccard=verify_jaccard,
             )
         )
         return t
@@ -168,9 +221,22 @@ class CorpusTable:
             k=m.k,
             bands=m.bands,
         )
-        accepted = docs.join(
-            cands.select(m.id_col).distinct(), m.id_col, "left_anti"
-        )
+        if m.verify_jaccard is not None:
+            cands = cands.localCheckpoint(eager=False)
+            matched = cands.select(
+                F.col("dup_of").alias(m.id_col)
+            ).distinct()
+            union_docs = docs.unionByName(
+                self.read()
+                .select(m.id_col, m.text_col)
+                .join(matched, m.id_col, "left_semi")
+            )
+            reject = _verified_reject_ids(
+                cands, union_docs, m.id_col, m.text_col, m.verify_jaccard
+            )
+        else:
+            reject = cands.select(m.id_col).distinct()
+        accepted = docs.join(reject, m.id_col, "left_anti")
         # one pass over the accepted docs computes both outputs
         accepted = accepted.localCheckpoint(eager=False)
         bands_df = minhash_bands(

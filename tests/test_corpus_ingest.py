@@ -140,3 +140,50 @@ def test_streamed_corpus_ingest_kill_resume(spark, tmp_path):
     got = {r["doc_id"] for r in tbl.read().select("doc_id").collect()}
     assert got == want
     assert tbl.manifest().committed_batches == [f"stream-{i}" for i in range(3)]
+
+
+def test_corpus_ingest_verified_gate(spark):
+    """With verify_jaccard set, only pairs passing EXACT token-set
+    Jaccard reject — ground truth is the same greedy fold over the
+    VERIFIED collision relation (LSH candidates ∩ jaccard >= t)."""
+    docs, batches = _batches(spark)
+    t = 0.5
+    tbl = CorpusTable.create(
+        spark, tempfile.mkdtemp() + "/corpus", verify_jaccard=t
+    )
+    for i, b in enumerate(batches):
+        tbl.apply_batch(f"b{i}", b)
+    got = {r["doc_id"] for r in tbl.read().select("doc_id").collect()}
+
+    # python truth: token sets once, jaccard only on LSH candidate pairs
+    toksets = {
+        r["doc_id"]: set(r["text"].lower().split())
+        for r in docs.collect()
+    }
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    collide: dict[int, set] = {}
+    for r in pairs:
+        a, b = r["doc_a"], r["doc_b"]
+        ta, tb = toksets[a], toksets[b]
+        if len(ta & tb) / len(ta | tb) >= t:
+            collide.setdefault(a, set()).add(b)
+            collide.setdefault(b, set()).add(a)
+    accepted: set = set()
+    for batch in [
+        sorted(r["doc_id"] for r in b.select("doc_id").collect())
+        for b in batches
+    ]:
+        bset = set(batch)
+        for d in batch:
+            nbrs = collide.get(d, set())
+            if (nbrs & (accepted - bset)) or any(
+                o < d for o in nbrs if o in bset
+            ):
+                continue
+            accepted.add(d)
+    assert got == accepted
+    # the verified gate keeps strictly more than the candidate-only gate
+    cand_tbl = CorpusTable.create(spark, tempfile.mkdtemp() + "/corpus2")
+    for i, b in enumerate(batches):
+        cand_tbl.apply_batch(f"b{i}", b)
+    assert len(got) > cand_tbl.read().count()
