@@ -1,0 +1,59 @@
+"""build_training_corpus: orchestration invariants (each stage's own
+semantics is oracle-tested with its module; here we check the composition
+wires them correctly and stays deterministic)."""
+
+from pyspark.sql import functions as F
+
+from mysql_syncer_spark.plans.corpus_build import build_training_corpus
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_build_default_rates_keep_everything_once(spark):
+    docs = _docs(spark)
+    out = build_training_corpus(docs, near_dup_jaccard=0.8).collect()
+    assert len(out) > 0
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))  # one row per kept doc
+    for r in out:
+        assert r["n_copies"] == 1  # no rates → default rate 1.0
+        assert r["split"] in ("train", "holdout")
+        assert r["bucket"] in ("head", "middle", "tail")
+        assert r["shard_idx"] == r["start_tok"] // 2048
+    # kept ⊂ input and dedup actually dropped something
+    assert 0 < len(ids) < docs.count()
+    # all three quality buckets are populated at this threshold
+    assert {r["bucket"] for r in out} == {"head", "middle", "tail"}
+    # the synthetic corpus is aggressively near-duplicate: the default
+    # 0.5 threshold keeps almost nothing (data property, not a bug)
+    assert len(build_training_corpus(docs).select("doc_id").collect()) < len(ids)
+
+
+def test_build_bucket_multipliers_and_rates(spark):
+    docs = _docs(spark)
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    rates = {s: 2.0 for s in srcs}
+    out = build_training_corpus(
+        docs,
+        rates=rates,
+        bucket_rate_mult={"head": 1.5, "middle": 1.0, "tail": 0.0},
+        near_dup_jaccard=0.8,
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["bucket"] != "tail"  # rate 0 drops the bucket
+        if r["bucket"] == "middle":
+            assert r["n_copies"] == 2  # 2.0 × 1.0
+        else:
+            assert r["n_copies"] == 3  # 2.0 × 1.5 = 3.0, zero fraction
+
+
+def test_build_deterministic(spark):
+    docs = _docs(spark)
+    a = sorted(map(tuple, build_training_corpus(docs, near_dup_jaccard=0.8).collect()))
+    b = sorted(map(tuple, build_training_corpus(docs, near_dup_jaccard=0.8).collect()))
+    assert a == b
