@@ -180,6 +180,7 @@ def replay(
     num_buckets: int = 64,
     from_file_seq: int | None = None,
     pipeline_depth: int = 1,
+    event_filter=None,
 ) -> dict:
     """Full (or resumed) replay. Returns summary metrics.
 
@@ -187,8 +188,14 @@ def replay(
     (merge-on-read makes them independent) while manifests commit strictly
     in order — the cure for the fixed per-batch serial floor at 10^4+
     batches. DDL is pre-collected in ONE pushed-predicate scan of the log
-    so each batch still projects with the schema at its log position."""
+    so each batch still projects with the schema at its log position.
+
+    ``event_filter`` (DataFrame -> DataFrame, serial path only) narrows
+    each batch before apply — the targeted-repair hook; it must keep
+    non-row events (DDL etc.) or schema history is lost."""
     cfg = cfg or default_pages_config()
+    if event_filter is not None and pipeline_depth > 1:
+        raise ValueError("event_filter requires pipeline_depth=1")
     if PagesTable.exists(table_path):
         table = PagesTable(spark, table_path)
     else:
@@ -217,6 +224,8 @@ def replay(
     else:
         batches = []
         for seq, batch in iter_tx_gated_batches(spark, event_dir, from_file_seq):
+            if event_filter is not None:
+                batch = event_filter(batch)
             res = table.apply_batch(batch_id=f"fileseq-{seq}", events=batch, cfg=cfg)
             batches.append(res)
     total_events = sum(b.get("events_in", 0) for b in batches)
@@ -226,3 +235,76 @@ def replay(
         "batches": batches,
         "table_path": table_path,
     }
+
+
+def repair_bucket(
+    spark: SparkSession,
+    event_dir: str,
+    table_path: str,
+    bucket_id: int,
+    cfg: TableConfig | None = None,
+) -> dict:
+    """Targeted disaster recovery: rebuild ONE bucket's data from the raw
+    binlog parquet without replaying the whole table (a lost/corrupted
+    data directory in a 10^5-bucket table should cost one bucket's merge,
+    not a full-table replay).
+
+    Mechanism: run the normal replay pipeline into a scratch table with
+    an event filter that keeps every NON-ROW event (DDL — so the rebuilt
+    bucket sees the same schema history) plus only the row events whose
+    key hashes to the target bucket; compact; verify the rebuilt manifest
+    reached the same schema/column-mapping as the live table; then splice
+    the rebuilt bucket's single vintage into the live manifest as a new
+    atomic commit. Cost: one full log SCAN (column-pruned, predicate on a
+    hash of the key) but merge/write work proportional to the one bucket.
+    Other buckets' dirs are untouched — time travel to pre-repair
+    versions still reads the old (possibly corrupt) files."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    table = PagesTable(spark, table_path)
+    m = table.manifest()
+    key_cols = list(m.key_columns)
+    nb = m.num_buckets
+
+    def only_bucket(df: DataFrame) -> DataFrame:
+        key = F.col(f"after.{key_cols[0]}")
+        b = F.pmod(F.xxhash64(*[f"after.{k}" for k in key_cols]), F.lit(nb))
+        return df.filter(key.isNull() | (b == bucket_id))
+
+    work = tempfile.mkdtemp(prefix="msss_repair_")
+    try:
+        scratch = os.path.join(work, "rebuild")
+        replay(
+            spark, event_dir, scratch, cfg=cfg, num_buckets=nb,
+            event_filter=only_bucket,
+        )
+        tmp = PagesTable(spark, scratch)
+        tmp.compact([bucket_id])
+        tm = tmp.manifest()
+        if tm.schema != m.schema or tm.column_mapping != m.column_mapping:
+            raise RuntimeError(
+                "rebuilt schema diverges from live manifest — the event log "
+                f"does not match this table ({tm.schema} vs {m.schema})"
+            )
+        src_dirs = tm.buckets.get(str(bucket_id), [])
+        new_dirs = []
+        for d in src_dirs:
+            rel = f"repair-{_uuid.uuid4().hex[:8]}-b{bucket_id}"
+            shutil.copytree(
+                os.path.join(scratch, d), os.path.join(table_path, rel)
+            )
+            new_dirs.append(rel)
+        rows = tm.lineage.get(str(bucket_id), {}).get("rows", 0)
+        m2 = table.manifest()  # re-read: commit against the freshest version
+        m2.version += 1
+        m2.buckets[str(bucket_id)] = new_dirs
+        m2.lineage[str(bucket_id)] = {
+            "batch_id": f"repair-v{m2.version}",
+            "rows": rows,
+        }
+        table._commit(m2)
+        return {"bucket": bucket_id, "rows": rows, "version": m2.version}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
