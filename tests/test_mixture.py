@@ -236,3 +236,75 @@ def test_quality_buckets_2pass_plan(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "Sort" not in plan, plan
+
+
+def test_pack_sequences_property(spark):
+    """Hypothesis: for ANY doc set (ids, token counts), packing yields
+    contiguous per-group streams with shard = start//budget and total
+    tokens preserved."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 10**6), st.integers(0, 500)),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(16, 2048),
+    )
+    def check(docs, budget):
+        df = spark.createDataFrame(
+            [(i, n) for i, n in docs], "doc_id long, n_tokens long"
+        )
+        out = pack_sequences(
+            df, budget=budget, n_tokens_col="n_tokens"
+        ).collect()
+        assert len(out) == len(docs)
+        assert sum(r["n_tokens"] for r in out) == sum(n for _, n in docs)
+        by_group: dict[str, list] = {}
+        for r in out:
+            by_group.setdefault(r["pack_group"], []).append(r)
+        for rows in by_group.values():
+            rows.sort(key=lambda r: r["start_tok"])
+            run = 0
+            for r in rows:
+                assert r["start_tok"] == run
+                assert r["shard_idx"] == run // budget
+                run += r["n_tokens"]
+
+    check()
+
+
+def test_mixture_rates_property(spark):
+    """Hypothesis: n_copies is always floor(rate) or ceil(rate) for the
+    doc's domain, and rate 0 domains vanish."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.floats(0, 4, allow_nan=False, width=16),
+            min_size=1,
+        )
+    )
+    def check(rates):
+        rows = [(i, ["a", "b", "c", "d", "e"][i % 5]) for i in range(80)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = mixture_sample(df, rates, default_rate=0.0).collect()
+        import math
+
+        for r in out:
+            rate = rates.get(r["source"], 0.0)
+            assert r["n_copies"] in {math.floor(rate), math.ceil(rate)}
+            assert r["n_copies"] >= 1
+        kept_domains = {r["source"] for r in out}
+        for d, rate in rates.items():
+            if rate == 0.0:
+                assert d not in kept_domains
+
+    check()
