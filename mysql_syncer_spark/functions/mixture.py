@@ -107,6 +107,49 @@ def mixture_sample(
     return out.filter(F.col("n_copies") >= 1)
 
 
+def cap_per_domain(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "cap1",
+    exact: bool = False,
+) -> DataFrame:
+    """Per-domain volume cap — the anti-spam step that stops one crawl
+    host from dominating the mix. Two shapes:
+
+    - ``exact=False`` (default, the 100 TB shape): pass 1 counts docs per
+      domain (partial-agg'd; result is one tiny row per domain, broadcast
+      back); domains within cap keep everything, oversized domains keep
+      docs whose hash draw < cap/count — an EXPECTED-cap downsample,
+      map-only after the count, deterministic, and no domain is ever
+      sorted in one task. The threshold is derived IN-PLAN
+      (hex arithmetic on the draw), so there is no driver loop at all.
+    - ``exact=True``: per-domain hash-rank window keeps exactly min(cap,
+      count) docs — the test-scale oracle; one sort per domain.
+
+    Both orders docs by the same hash draw, so the exact form's keep-set
+    is a superset refinement of what the expected form targets."""
+    u = uniform_hex(seed, F.col(id_col))
+    if exact:
+        w = Window.partitionBy(domain_col).orderBy(u, F.col(id_col))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn")
+        )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_dom_n"))
+    frac = F.least(F.lit(1.0), F.lit(float(cap)) / F.col("_dom_n"))
+    thr = F.lower(
+        F.lpad(F.hex((frac * F.lit(float(_HEX13))).cast("bigint")), 13, "0")
+    )
+    return (
+        df.join(F.broadcast(counts), domain_col)
+        .filter((F.col("_dom_n") <= cap) | (u < thr))
+        .drop("_dom_n")
+    )
+
+
 def quality_buckets(
     df: DataFrame,
     score_col: str,

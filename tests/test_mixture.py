@@ -308,3 +308,59 @@ def test_mixture_rates_property(spark):
                 assert d not in kept_domains
 
     check()
+
+
+def test_cap_per_domain_exact_matches_duckdb(spark):
+    from mysql_syncer_spark.functions.mixture import cap_per_domain
+
+    docs = _docs(spark)
+    got = {
+        r["doc_id"]
+        for r in cap_per_domain(docs, 30, exact=True).select("doc_id").collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{SF}/documents.parquet'")
+    oracle = con.execute("""
+        SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+                PARTITION BY source
+                ORDER BY substr(md5('cap1|' || doc_id::VARCHAR), 1, 13), doc_id
+            ) AS rn
+            FROM documents)
+        WHERE rn <= 30
+    """).fetchall()
+    assert got == {r[0] for r in oracle}
+    # exactly min(cap, count) per domain
+    per = cap_per_domain(docs, 30, exact=True).groupBy("source").count().collect()
+    full = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    assert {r["source"]: r["count"] for r in per} == {
+        s: min(30, n) for s, n in full.items()
+    }
+
+
+def test_cap_per_domain_expected_matches_duckdb(spark):
+    from mysql_syncer_spark.functions.mixture import cap_per_domain
+
+    docs = _docs(spark)
+    got = {
+        r["doc_id"]
+        for r in cap_per_domain(docs, 30).select("doc_id").collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{SF}/documents.parquet'")
+    oracle = con.execute("""
+        WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1)
+        SELECT doc_id FROM documents JOIN c USING (source)
+        WHERE n <= 30
+           OR substr(md5('cap1|' || doc_id::VARCHAR), 1, 13)
+              < lower(lpad(to_hex((least(1.0, 30.0 / n)
+                                   * 4503599627370496.0)::BIGINT), 13, '0'))
+    """).fetchall()
+    assert got == {r[0] for r in oracle}
+    # expected-cap: each oversized domain lands within a loose band
+    per = {
+        r["source"]: r["count"]
+        for r in cap_per_domain(docs, 30).groupBy("source").count().collect()
+    }
+    for s, n in per.items():
+        assert n <= 60  # 2× expected cap is far outside plausible variance
