@@ -382,3 +382,54 @@ def with_repetition_features(df, id_col: str = "doc_id", text_col: str = "text")
                        on=id_col, how="left")
         out = out.fillna({f"top_{n}gram_char_frac": 0.0})
     return out
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """Corpus inverted index: token -> (n_docs, postings) with postings a
+    SORTED doc-id array — the retrieval-side artifact of a data platform
+    (serve term lookups / AND-queries without scanning text).
+
+    One explode + one groupBy (count and collect_list both partial-
+    combine map-side; the sort is per-token over its own postings).
+    ``max_df_frac`` drops stopword-grade tokens: a posting list for
+    'the' IS the whole corpus — at 100 TB that row would be a multi-GB
+    array in one reducer, so high-document-frequency tokens are capped
+    out by a cheap post-aggregate filter (count first, list only kept
+    rows via a second pass when the cap is active).
+    Output: token, n_docs, postings."""
+    from mysql_syncer_spark.functions.dedup_text import distinct_tokens
+
+    toks = distinct_tokens(df, id_col, text_col)
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
+    if max_df_frac < 1.0:
+        n_total = df.select(id_col).distinct().count()
+        counts = counts.filter(F.col("n_docs") <= int(max_df_frac * n_total))
+        toks = toks.join(F.broadcast(counts.select("token")), "token", "left_semi")
+    lists = toks.groupBy("token").agg(
+        F.sort_array(F.collect_list(id_col)).alias("postings")
+    )
+    return counts.join(lists, "token").select("token", "n_docs", "postings")
+
+
+def search_all_terms(
+    index: DataFrame, terms: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """AND-query over the inverted index: doc ids containing EVERY term.
+    Explodes only the queried terms' postings (index rows are fetched by
+    an IN filter — partition-prunable when the index is written bucketed
+    by token) and keeps ids seen len(terms) times. Never touches text."""
+    n = len(set(terms))
+    hits = (
+        index.filter(F.col("token").isin(*set(terms)))
+        .select(F.explode("postings").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .filter(F.col("_nt") == n)
+        .select(id_col)
+    )
+    return hits

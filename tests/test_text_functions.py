@@ -180,3 +180,71 @@ def test_unigram_nll_matches_duckdb(spark):
         GROUP BY doc_id, total
     """).fetchall()
     assert got == set(oracle) and len(got) == 500
+
+
+def test_inverted_index_matches_duckdb(spark):
+    from mysql_syncer_spark.functions.text import inverted_index
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r["token"], r["n_docs"], tuple(r["postings"]))
+        for r in inverted_index(docs).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{sf}/documents.parquet'")
+    oracle = con.execute(r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct(string_split_regex(
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '
+            ))) AS token FROM documents),
+        tok AS (SELECT * FROM toks WHERE token <> '')
+        SELECT token, count(*)::BIGINT AS n_docs,
+               list(doc_id ORDER BY doc_id) AS postings
+        FROM tok GROUP BY token
+    """).fetchall()
+    assert got == {(t, n, tuple(p)) for t, n, p in oracle}
+    # every posting list is sorted and duplicate-free
+    for _, n, p in got:
+        assert list(p) == sorted(set(p)) and n == len(p)
+
+
+def test_inverted_index_max_df_and_search(spark):
+    from mysql_syncer_spark.functions.text import (
+        inverted_index,
+        search_all_terms,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    full = inverted_index(docs)
+    capped = inverted_index(docs, max_df_frac=0.5)
+    n_total = docs.count()
+    # the cap drops exactly the rows whose df exceeds the fraction
+    dropped = {
+        r["token"]
+        for r in full.filter(F.col("n_docs") > int(0.5 * n_total))
+        .select("token").collect()
+    }
+    assert dropped
+    assert {r["token"] for r in full.select("token").collect()} - {
+        r["token"] for r in capped.select("token").collect()
+    } == dropped
+
+    # AND-search parity vs brute-force token membership
+    terms = ["spark", "hash"]
+    got = {r["doc_id"] for r in search_all_terms(full, terms).collect()}
+    brute = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.arrays_overlap(
+                F.split(F.lower("text"), r"\s+"), F.array(F.lit("spark"))
+            )
+            & F.arrays_overlap(
+                F.split(F.lower("text"), r"\s+"), F.array(F.lit("hash"))
+            )
+        ).select("doc_id").collect()
+    }
+    assert got == brute and got
