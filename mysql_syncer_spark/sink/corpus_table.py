@@ -208,7 +208,16 @@ class CorpusTable:
         """Dedup-gate and append one batch atomically. Re-delivery of a
         committed batch_id is a no-op (ledger). Data files land before
         the manifest references them — a crash in between leaves only
-        unreferenced orphans (vacuum territory), never a partial commit."""
+        unreferenced orphans (vacuum territory), never a partial commit.
+
+        Concurrency: commits use the exclusive-version-claim protocol, so
+        two writers never clobber each other's manifests; on a lost race
+        the commit rebases and retries (or no-ops if the racer delivered
+        the same batch). The dedup GATE, however, was evaluated against
+        the index as of batch start — two concurrent writers of different
+        batches can each accept docs that are near-dups of the other's
+        (append-only eventual dedup; run duplicate_clusters offline or
+        keep one writer per corpus for strict serial gating)."""
         m = self.manifest()
         if batch_id in m.committed_batches:
             return {"batch_id": batch_id, "skipped": True}
@@ -251,13 +260,24 @@ class CorpusTable:
         bands_df.write.mode("overwrite").parquet(os.path.join(self.path, brel))
         n_total = docs.count()
         n_acc = self.spark.read.parquet(os.path.join(self.path, drel)).count()
-        m.version += 1
-        m.doc_files.append(drel)
-        m.band_files.append(brel)
-        m.committed_batches.append(batch_id)
-        m.n_docs += n_acc
-        m.n_rejected += n_total - n_acc
-        self._commit(m)
+        # optimistic concurrency (same protocol as the pages sink): claim
+        # the next version; on a lost race, rebase on the fresh manifest —
+        # if the racer committed this very batch, we are a no-op; else our
+        # file references re-append and we retry the next version number.
+        while True:
+            m.version += 1
+            m.doc_files.append(drel)
+            m.band_files.append(brel)
+            m.committed_batches.append(batch_id)
+            m.n_docs += n_acc
+            m.n_rejected += n_total - n_acc
+            try:
+                self._commit(m)
+                break
+            except CommitConflictError:
+                m = self.manifest()
+                if batch_id in m.committed_batches:
+                    return {"batch_id": batch_id, "skipped": True}
         return {
             "batch_id": batch_id,
             "skipped": False,

@@ -187,3 +187,30 @@ def test_corpus_ingest_verified_gate(spark):
     for i, b in enumerate(batches):
         cand_tbl.apply_batch(f"b{i}", b)
     assert len(got) > cand_tbl.read().count()
+
+
+def test_corpus_commit_conflict_rebases(spark, tmp_path):
+    """A racer pre-claims the next version file; the writer's commit must
+    rebase onto it and land at the following version with both manifests'
+    content preserved."""
+    import json
+    import os
+
+    docs, batches = _batches(spark)
+    tbl = CorpusTable.create(spark, str(tmp_path / "c"))
+    tbl.apply_batch("b0", batches[0])
+    m = tbl.manifest()
+    # racer claims version m.version+1 with a manifest that commits "bX"
+    racer = CorpusTable(spark, str(tmp_path / "c"))
+    rm = racer.manifest()
+    rm.version += 1
+    rm.committed_batches.append("bX")
+    racer._commit(rm)
+
+    r = tbl.apply_batch("b1", batches[1])
+    assert not r["skipped"]
+    final = tbl.manifest()
+    assert final.version == m.version + 2  # rebased past the racer
+    assert "bX" in final.committed_batches and "b1" in final.committed_batches
+    # re-delivery against the racer's id is a no-op too
+    assert tbl.apply_batch("bX", batches[2])["skipped"]
