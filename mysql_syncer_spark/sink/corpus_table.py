@@ -107,6 +107,13 @@ class CorpusManifest:
     committed_batches: list = field(default_factory=list)
     n_docs: int = 0
     n_rejected: int = 0
+    # fold band_files into ONE parquet dir when the list reaches this
+    # length — otherwise a 10^5-batch corpus pays O(batches) file-group
+    # listing on EVERY batch's index join. Band rows are tiny (4 per
+    # accepted doc), so the periodic rewrite is cheap relative to ingest;
+    # doc files stay append-only (their text is read only by the verify
+    # path, and only for matched candidates).
+    band_compact_threshold: int = 16
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=1, sort_keys=True)
@@ -134,6 +141,7 @@ class CorpusTable:
         id_col: str = "doc_id",
         text_col: str = "text",
         verify_jaccard: float | None = None,
+        band_compact_threshold: int = 16,
     ) -> "CorpusTable":
         os.makedirs(os.path.join(path, "_versions"), exist_ok=True)
         os.makedirs(os.path.join(path, "docs"), exist_ok=True)
@@ -147,6 +155,7 @@ class CorpusTable:
                 id_col=id_col,
                 text_col=text_col,
                 verify_jaccard=verify_jaccard,
+                band_compact_threshold=band_compact_threshold,
             )
         )
         return t
@@ -258,6 +267,15 @@ class CorpusTable:
         brel = os.path.join("bands", f"{batch_id}.parquet")
         accepted.write.mode("overwrite").parquet(os.path.join(self.path, drel))
         bands_df.write.mode("overwrite").parquet(os.path.join(self.path, brel))
+        # threshold compaction of the band index, folded into THIS commit:
+        # the pre-batch band files merge to one dir; the new batch's file
+        # appends after it. Old dirs become unreferenced orphans.
+        if len(m.band_files) + 1 >= m.band_compact_threshold:
+            crel = os.path.join("bands", f"compact-{batch_id}.parquet")
+            self.band_index(m).write.mode("overwrite").parquet(
+                os.path.join(self.path, crel)
+            )
+            m.band_files = [crel]
         n_total = docs.count()
         n_acc = self.spark.read.parquet(os.path.join(self.path, drel)).count()
         # optimistic concurrency (same protocol as the pages sink): claim

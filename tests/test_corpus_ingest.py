@@ -214,3 +214,31 @@ def test_corpus_commit_conflict_rebases(spark, tmp_path):
     assert "bX" in final.committed_batches and "b1" in final.committed_batches
     # re-delivery against the racer's id is a no-op too
     assert tbl.apply_batch("bX", batches[2])["skipped"]
+
+
+def test_band_index_threshold_compaction(spark, tmp_path):
+    """Many small batches: the band-file list stays bounded by the
+    compaction threshold, the index content stays the union of accepted
+    docs' bands, and the dedup gate behaves identically to an
+    uncompacted table."""
+    docs, _ = _batches(spark)
+    rows = docs.limit(60).collect()
+    tbl = CorpusTable.create(
+        spark, str(tmp_path / "c"), band_compact_threshold=4
+    )
+    ref = CorpusTable.create(
+        spark, str(tmp_path / "ref"), band_compact_threshold=10**9
+    )
+    for i in range(12):
+        chunk = spark.createDataFrame(rows[i * 5:(i + 1) * 5], docs.schema) \
+            .select("doc_id", "text")
+        tbl.apply_batch(f"b{i}", chunk)
+        ref.apply_batch(f"b{i}", chunk)
+        assert len(tbl.manifest().band_files) <= 4
+    assert len(ref.manifest().band_files) == 12
+    got = {tuple(r) for r in tbl.band_index().collect()}
+    want = {tuple(r) for r in ref.band_index().collect()}
+    assert got == want
+    assert {r["doc_id"] for r in tbl.read().collect()} == {
+        r["doc_id"] for r in ref.read().collect()
+    }
