@@ -498,3 +498,192 @@ def contaminated_docs(
         bench = F.broadcast(bench)
     hits = train.join(bench, "gram_hash", "left_semi")
     return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared_grams"))
+
+
+def span_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 50,
+    anchor_k: int = 8,
+    anchor_mod: int = 8,
+) -> DataFrame:
+    """(id, pos, fp) — md5 fingerprints of fixed-``width`` character
+    windows of the NORMALIZED text, starting at CONTENT-DEFINED anchor
+    positions (docs shorter than ``width`` emit nothing).
+
+    An anchor is any position whose leading ``anchor_k``-gram hashes to
+    0 mod ``anchor_mod`` (the 0-mod-p rule of content-defined chunking:
+    rsync / LBFS). Position-stride sampling would only match a shared
+    run when both copies happen to align mod stride; content-defined
+    anchors are chosen by the BYTES, so the same run selects the same
+    window starts in every doc that contains it, at any offset. A shared
+    run of length L >= width misses detection only if it contains no
+    anchor — probability (1-1/p)^(L-width+...) ~ 1e-4 at p=8, L=100 —
+    the same probabilistic-recall contract as the MinHash-LSH path.
+
+    Scale: anchor selection is a per-doc JVM array filter (no explode
+    until after selection), expected density 1/p, so the shuffle carries
+    ~len/p rows of (id, int, 16-byte digest) per doc — raw substrings
+    never shuffle. The anchor hash is the first 8 md5 hex chars of the
+    k-gram read as an int (engine-portable: same rule in the DuckDB
+    oracle)."""
+    base = (
+        df.select(F.col(id_col), normalized(F.col(text_col)).alias("_txt"))
+        .filter(F.length("_txt") >= width)
+    )
+    txt = F.col("_txt")
+
+    def is_anchor(i: Column) -> Column:
+        gram = F.substring(txt, i + 1, F.lit(anchor_k))
+        h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        return h % anchor_mod == 0
+
+    anchors = F.filter(
+        F.sequence(F.lit(0), F.length(txt) - width), is_anchor
+    )
+    return base.select(
+        F.col(id_col), F.explode(anchors).alias("pos"), txt
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.md5(F.substring(txt, F.col("pos") + 1, F.lit(width))).alias("fp"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 50,
+    anchor_k: int = 8,
+    anchor_mod: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring spans across documents (the
+    suffix-array dedup of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", re-shaped for Spark: fixed-width
+    windows at content-defined anchors instead of a global suffix
+    array — see span_fingerprints for the recall contract).
+
+    A window is duplicated when its fingerprint occurs in >=2 DISTINCT
+    docs; the keeper (min id per fingerprint) keeps its copy, every
+    other doc's overlapping windows merge into removable intervals.
+
+    Returns (id, span_start, span_end) merged intervals over the
+    normalized text — feed to strip_duplicated_spans / _span_stats.
+
+    Scale: one shuffle keyed by the 16-byte digest with two-stage
+    aggregation ((fp,doc) then fp — both partial-agg'd map-side); the
+    join back is an equi-join where the built side has ONE row per fp,
+    so a boilerplate gram shared by millions of docs skews only the
+    probe side (AQE skew-split territory, never a row explosion). The
+    interval merge windows partition by doc — bounded by per-doc anchor
+    count, never corpus-wide.
+    """
+    from pyspark.sql import Window
+
+    fps = span_fingerprints(df, id_col, text_col, width, anchor_k, anchor_mod)
+    per_fp = (
+        fps.select("fp", id_col)
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    removable = (
+        fps.join(per_fp, "fp")
+        .filter(F.col(id_col) != F.col("keeper_id"))
+        .select(id_col, "pos", (F.col("pos") + width).alias("end"))
+        .distinct()  # the same window can match several shared fps
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = removable.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"), F.max("end").alias("span_end")
+    ).drop("island")
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 50,
+    anchor_k: int = 8,
+    anchor_mod: int = 8,
+) -> DataFrame:
+    """Per-doc exact-substring duplication census over ALL docs:
+    (id, n_dup_spans, dup_chars, doc_chars, dup_fraction). Docs with no
+    removable span (including every keeper) report zeros."""
+    spans = duplicated_spans(df, id_col, text_col, width, anchor_k, anchor_mod)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_chars"),
+    )
+    base = df.select(
+        F.col(id_col), F.length(normalized(F.col(text_col))).alias("doc_chars")
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            "doc_chars",
+            F.round(
+                F.coalesce("dup_chars", F.lit(0))
+                / F.greatest("doc_chars", F.lit(1)),
+                9,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 50,
+    anchor_k: int = 8,
+    anchor_mod: int = 8,
+) -> DataFrame:
+    """(id, text) with removable duplicated spans CUT out of the
+    normalized text (keepers — and docs with no shared span — pass
+    through whole). The cut is a JVM fold (F.aggregate) over the doc's
+    sorted merged intervals: no Python, state is one cursor + the
+    growing output string, intervals per doc bounded by anchor density."""
+    spans = duplicated_spans(df, id_col, text_col, width, anchor_k, anchor_mod)
+    ivs = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("ivs")
+    )
+    base = df.select(F.col(id_col), normalized(F.col(text_col)).alias("_txt"))
+    joined = base.join(ivs, id_col, "left")
+    acc0 = F.struct(F.lit(0).alias("cur"), F.lit("").alias("out"))
+    folded = F.aggregate(
+        F.coalesce("ivs", F.array().cast("array<struct<span_start:int,span_end:int>>")),
+        acc0,
+        lambda acc, iv: F.struct(
+            F.greatest(acc["cur"], iv["span_end"]).alias("cur"),
+            F.concat(
+                acc["out"],
+                F.substring(
+                    F.col("_txt"), acc["cur"] + 1, iv["span_start"] - acc["cur"]
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.substring(
+                F.col("_txt"), acc["cur"] + 1, F.length("_txt") - acc["cur"]
+            ),
+        ),
+    )
+    return joined.select(F.col(id_col), folded.alias(text_col))
