@@ -433,3 +433,105 @@ def search_all_terms(
         .select(id_col)
     )
     return hits
+
+
+def doc_lengths(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, dl) — token count per doc under the index tokenizer (full
+    counts, not set semantics). Computed map-side from the split array;
+    no shuffle beyond the trivial projection."""
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda x: x != ""
+    )
+    return df.select(F.col(id_col), F.size(toks).alias("dl"))
+
+
+def tf_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """(token, doc_id, tf) — term-frequency postings, the ranked-retrieval
+    index artifact (inverted_index keeps set semantics for AND-queries;
+    BM25 needs tf). One explode + one groupBy(token, id) with map-side
+    partial counts; write it bucketed by token so term fetches prune.
+    ``max_df_frac`` caps stopword-grade tokens exactly as inverted_index
+    does — a posting list for 'the' is the corpus itself at 100 TB."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "), lambda x: x != ""
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    if max_df_frac < 1.0:
+        n_total = df.select(id_col).distinct().count()
+        keep = (
+            tf.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") <= int(max_df_frac * n_total))
+            .select("token")
+        )
+        tf = tf.join(F.broadcast(keep), "token", "left_semi")
+    return tf
+
+
+def bm25_topk(
+    postings: DataFrame,
+    lens: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k over a persisted (token, doc_id, tf) postings table and
+    a (doc_id, dl) length table — Robertson idf = ln(1 + (N-df+.5)/(df+.5)).
+
+    Query-time plan: fetch ONLY the query terms' postings (an IN filter —
+    partition-pruned when the postings table is bucketed/partitioned by
+    token), derive per-term df from the fetched rows themselves (a tiny
+    groupBy over |terms| keys, broadcast back), join doc lengths on id
+    (one shuffle of the fetched postings, never the corpus), sum scores
+    per doc, TakeOrdered k. N and avgdl are one-row aggregates
+    cross-joined in-plan — no driver round-trip, no global sort.
+    Output: doc_id, score (rounded to 9 for engine-portable comparison),
+    ordered score desc then id."""
+    qterms = sorted(set(terms))
+    # lazily checkpoint the fetched postings: df derivation and scoring
+    # both consume them, and when the caller composes postings in-memory
+    # (tests) the corpus tokenize would otherwise run once per consumer.
+    # Against a persisted postings table this is a few-row cache.
+    fetched = postings.filter(F.col("token").isin(*qterms)).localCheckpoint(
+        eager=False
+    )
+    dfreq = fetched.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_corpus"), F.avg("dl").alias("avgdl")
+    )
+    scored = (
+        fetched.join(F.broadcast(dfreq), "token")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_corpus") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("w"), 9).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
