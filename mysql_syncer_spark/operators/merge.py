@@ -36,6 +36,7 @@ def batch_to_state(
     row_events: DataFrame,
     column_mapping: dict[str, str],
     on_delete: str = "delete",
+    target_types: dict[str, str] | None = None,
 ) -> DataFrame:
     """Project CDC row events → state-shaped rows (payload + hidden cols).
 
@@ -43,14 +44,22 @@ def batch_to_state(
     current target column name. Mirrors how a TABLE_MAP's positional columns
     bind to the catalog schema (SURVEY §1.2): DDL renames change the target
     name, never the wire name.
+
+    ``target_types`` (target column → spark dtype string) types the NULL
+    emitted when a wire field is absent from this batch's events — an
+    untyped ``lit(None)`` is VOID, which parquet has no encoding for, so a
+    delta written from such a batch poisons later reads of the column.
     """
     ev_fields = {f.name for f in row_events.schema["after"].dataType.fields}
+    target_types = target_types or {}
     cols = []
     for wire, target in column_mapping.items():
         if wire in ev_fields:
             cols.append(F.col(f"after.{wire}").alias(target))
         else:
-            cols.append(F.lit(None).alias(target))
+            cols.append(
+                F.lit(None).cast(target_types.get(target, "string")).alias(target)
+            )
     is_del = F.col("op") == "D"
     if on_delete == "ignore":
         # Reference parity: delete handler is a no-op

@@ -308,3 +308,115 @@ def repair_bucket(
         return {"bucket": bucket_id, "rows": rows, "version": m2.version}
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def snapshot_events(
+    snapshot: DataFrame,
+    offset: tuple[int, int],
+    table_name: str = "web.pages",
+) -> DataFrame:
+    """Wrap a consistent table snapshot as INSERT change events ranked AT
+    the snapshot offset — the bootstrap half of the dump-then-tail
+    lifecycle (the reference slave's "request dump from saved (file, pos)"
+    handshake, /root/reference/src/slave — SURVEY §3.2; Debezium-style
+    initial snapshot → streaming cutover).
+
+    Rank equivalence argument: the LWW order is (warc_ts, file_seq,
+    log_pos). Snapshot rows keep their own warc_ts (data), and take the
+    offset as their (file, pos). Any post-offset event compares against a
+    snapshot row exactly as it would have compared against the original
+    pre-offset event in a full replay: the warc_ts leg is identical, and
+    on a warc_ts tie the post-offset event's position exceeds the offset
+    just as it exceeded the original position. Map-only — no shuffle."""
+    fs, pos = offset
+    ev_cols = [
+        F.lit(pos).cast("long").alias("log_pos"),
+        F.lit(fs).cast("int").alias("file_seq"),
+        F.lit(None).cast("int").alias("server_id"),
+        F.lit("I").alias("op"),
+        F.lit(table_name).alias("table"),
+        F.lit(None).cast("long").alias("tx_id"),
+    ]
+    after = F.struct(*[F.col(c) for c in snapshot.columns]).alias("after")
+    before = F.lit(None).cast(
+        "struct<" + ", ".join(f"{c}: {t}" for c, t in snapshot.dtypes) + ">"
+    ).alias("before")
+    ddl = F.lit(None).cast(
+        "struct<kind: string, col: string, new_name: string, dtype: string>"
+    ).alias("ddl")
+    return snapshot.select(*ev_cols, before, after, ddl)
+
+
+def bootstrap_then_replay(
+    spark: SparkSession,
+    snapshot: DataFrame,
+    offset: tuple[int, int],
+    event_dir: str,
+    table_path: str,
+    cfg: TableConfig | None = None,
+    num_buckets: int = 64,
+    wire_mapping: dict[str, str] | None = None,
+    renames: list[list[str]] | None = None,
+) -> dict:
+    """Bootstrap a NEW target table from a consistent snapshot taken at
+    ``offset = (file_seq, log_pos)``, then cut over to the binlog and
+    replay everything strictly after the offset. Final state equals a
+    full from-scratch replay (tests/test_bootstrap.py proves it at file
+    and mid-file offsets).
+
+    The offset must sit on a transaction boundary — the same rule the
+    reference enforces by emitting checkpoint positions only outside
+    transactions (rs_parse_binlog.c:428 gate). The table is created with
+    the SNAPSHOT's schema (the schema at the offset), so pre-offset DDL
+    history is not replayed; post-offset DDL applies normally.
+
+    ``wire_mapping`` / ``renames``: when pre-offset DDL RENAMED columns,
+    the tail's wire events still carry the ORIGINAL field names (wire
+    names never change — operators/merge.py batch_to_state), but the
+    snapshot carries post-rename names, so the identity mapping derived
+    from the snapshot would silently NULL those columns. Pass the source
+    table's manifest ``column_mapping`` (wire field → current column) and
+    ``renames`` — the schema-registry half of a snapshot handoff. The
+    bootstrap batch itself always applies under the identity mapping
+    (its events ARE snapshot-shaped); the wire mapping is committed
+    before the tail starts.
+
+    Scale: the snapshot load is one apply_batch — a single payload
+    shuffle into bucket layout, O(snapshot); the tail replay prunes
+    pre-offset files by name without scanning them, and trims the
+    straddling file with a (file_seq, log_pos) predicate that parquet
+    row-group stats serve cheaply."""
+    cfg = cfg or default_pages_config()
+    fs, pos = offset
+    if PagesTable.exists(table_path):
+        raise ValueError("bootstrap requires a fresh table path")
+    schema = [[c, t] for c, t in snapshot.dtypes]
+    table = PagesTable.create(spark, table_path, num_buckets=num_buckets, schema=schema)
+    boot = table.apply_batch(
+        batch_id=f"bootstrap-{fs}-{pos}",
+        events=snapshot_events(snapshot, offset, cfg.name),
+        cfg=cfg,
+    )
+    if wire_mapping is not None:
+        m = table.manifest()
+        targets = {c for c, _ in m.schema}
+        unknown = set(wire_mapping.values()) - targets
+        if unknown:
+            raise ValueError(f"wire_mapping targets not in snapshot schema: {unknown}")
+        m.column_mapping = dict(wire_mapping)
+        m.renames = [list(r) for r in (renames or [])]
+        m.version += 1
+        table._commit(m)
+
+    def past_offset(df: DataFrame) -> DataFrame:
+        return df.filter(
+            (F.col("file_seq") > fs)
+            | ((F.col("file_seq") == fs) & (F.col("log_pos") > pos))
+        )
+
+    tail = replay(
+        spark, event_dir, table_path, cfg,
+        from_file_seq=fs, event_filter=past_offset,
+    )
+    tail["bootstrap"] = boot
+    return tail

@@ -498,6 +498,7 @@ class PagesTable:
             m.num_buckets,
             mark,
             carry_salted=False if cfg.skew_probe == "never" else None,
+            target_types=dict(m.schema),
         )
         res = self._commit_batch(
             m, bid, delta, n_ddl, t0, mark,
@@ -748,6 +749,7 @@ class PagesTable:
                         mapping,
                         m.num_buckets,
                         carry_salted=carry_for_submit(),
+                        target_types=dict(plan_m.schema),
                     )
                     inflight.append((bid, ddls, t0, fut))
                     while len(inflight) >= depth:
@@ -813,6 +815,7 @@ class PagesTable:
         num_buckets: int,
         mark=lambda label: None,
         carry_salted: bool | None = None,
+        target_types: dict[str, str] | None = None,
     ) -> dict:
         """Build and write ONE batch's delta (merge-on-read unit of work).
         Pure with respect to the manifest — takes a mapping snapshot, so
@@ -831,7 +834,9 @@ class PagesTable:
         per-batch serial floor drops by one full scan."""
         from pyspark.sql import Observation
 
-        batch_state = batch_to_state(row_events, column_mapping, cfg.on_delete)
+        batch_state = batch_to_state(
+            row_events, column_mapping, cfg.on_delete, target_types
+        )
         bucket_col = F.pmod(
             F.xxhash64(*cfg.key_columns), F.lit(num_buckets)
         ).cast("int")
