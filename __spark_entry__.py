@@ -414,6 +414,122 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("rfp"))
 
 
+def q_doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_syncer_spark.functions.dedup_text import duplicated_span_stats
+
+    return duplicated_span_stats(
+        _t(spark, sf_dir, "documents"), width=40, anchor_k=8, anchor_mod=8
+    )
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_syncer_spark.functions.text import bm25_topk, doc_lengths, tf_postings
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(tf_postings(d), doc_lengths(d), _BM25_TERMS, k=20)
+
+
+_BM25_TERMS = ["data", "web", "page"]
+
+
+def _dup_span_sql(width: int = 40, k: int = 8, p: int = 8) -> str:
+    """DuckDB twin of duplicated_span_stats (same anchor rule, keeper
+    rule, interval merge)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+  FROM documents
+),
+eligible AS (
+  SELECT doc_id, txt, length(txt) AS len FROM base WHERE length(txt) >= {width}
+),
+cand AS (
+  SELECT doc_id, txt, unnest(range(0, len - {width} + 1)) AS pos FROM eligible
+),
+sel AS (
+  SELECT doc_id, pos, md5(substr(txt, pos + 1, {width})) AS fp
+  FROM cand
+  WHERE ('0x' || substr(md5(substr(txt, pos + 1, {k})), 1, 8))::BIGINT % {p} = 0
+),
+per_fp AS (
+  SELECT fp, min(doc_id) AS keeper
+  FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+),
+removable AS (
+  SELECT DISTINCT s.doc_id, s.pos, s.pos + {width} AS e
+  FROM sel s JOIN per_fp p USING (fp) WHERE s.doc_id <> p.keeper
+),
+islands AS (
+  SELECT doc_id, pos, e,
+    CASE WHEN pos > coalesce(max(e) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS ni
+  FROM removable
+),
+isl2 AS (
+  SELECT doc_id, pos, e,
+    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+      AS island
+  FROM islands
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(e) AS e FROM isl2 GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(dup_chars, 0)::BIGINT AS dup_chars,
+       length(b.txt)::BIGINT AS doc_chars,
+       round(coalesce(dup_chars, 0) / greatest(length(b.txt), 1), 9)
+         AS dup_fraction
+FROM base b LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+def _bm25_sql(terms: list[str], k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of bm25_topk over in-SQL tf postings + doc lengths."""
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT token, doc_id, count(*) AS tf FROM toks
+  WHERE token <> '' GROUP BY token, doc_id
+),
+lens AS (
+  SELECT token_doc.doc_id, count(*) AS dl
+  FROM toks token_doc WHERE token <> '' GROUP BY token_doc.doc_id
+),
+lens_all AS (
+  SELECT d.doc_id, coalesce(l.dl, 0) AS dl
+  FROM documents d LEFT JOIN lens l USING (doc_id)
+),
+stats AS (SELECT count(*) AS n_corpus, avg(dl) AS avgdl FROM lens_all),
+fetched AS (SELECT * FROM tf WHERE token IN ({tlist})),
+dfreq AS (SELECT token, count(*) AS df FROM fetched GROUP BY token),
+scored AS (
+  SELECT f.doc_id,
+    ln(1 + (s.n_corpus - d.df + 0.5) / (d.df + 0.5))
+      * (f.tf * ({k1} + 1))
+      / (f.tf + {k1} * (1 - {b} + {b} * l.dl / s.avgdl)) AS w
+  FROM fetched f
+  JOIN dfreq d USING (token)
+  JOIN lens_all l USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(w), 9) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def q_doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_t(spark, sf_dir, "documents"), k=8)
 
@@ -1422,8 +1538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
-        "doc_token_count_bpe": q_doc_token_count_bpe,
-        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_dup_span_stats": q_doc_dup_span_stats,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh,
         "cdc_asof_user_purchase": q_cdc_asof_join,
         "doc_lsh_jaccard_verified": q_doc_lsh_jaccard_verified,
@@ -1747,21 +1863,8 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS es
                   FROM documents)
         """,
-        "doc_token_count_bpe": (
-            "SELECT doc_id, len(regexp_extract_all(text, '"
-            + BPE_PAT.replace("'", "''")
-            + "')) AS n_bpe_tokens FROM documents"
-        ),
-        "doc_rolling_fingerprint": r"""
-            SELECT doc_id,
-                   list_reduce(
-                     list_prepend(0::BIGINT,
-                       list_transform(
-                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
-                         t -> (length(t)::BIGINT * 96769 + ascii(t)) % 1000000007)),
-                     (a, b) -> (a * 1000003 + b) % 1000000007) AS rfp
-            FROM documents
-        """,
+        "doc_bm25_topk": _bm25_sql(_BM25_TERMS, k=20),
+        "doc_dup_span_stats": _dup_span_sql(width=40, k=8, p=8),
         "doc_minhash_lsh_pairs": f"""
             {_TOK_CTE}, {sig_sql},
             banded AS (

@@ -633,9 +633,9 @@ def duplicated_span_stats(
         base.join(per_doc, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
-            "doc_chars",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            F.col("doc_chars").cast("long").alias("doc_chars"),
             F.round(
                 F.coalesce("dup_chars", F.lit(0))
                 / F.greatest("doc_chars", F.lit(1)),
