@@ -938,6 +938,14 @@ class PagesTable:
         compacted = self._bucket_merge(
             cur.withColumn("_bucket", bucket_col), list(frozen.key_columns)
         )
+        # sort-on-compact (Iceberg rewrite_data_files sort-order parity):
+        # the merge output is already partitioned by _bucket, so this is a
+        # per-partition in-memory sort — no exchange — and the compacted
+        # file's parquet row-group min/max on the key become selective, so
+        # point/range reads prune row groups inside the bucket. Delta
+        # writes stay UNSORTED: sorting belongs on the maintenance path,
+        # not the per-batch hot path.
+        compacted = compacted.sortWithinPartitions("_bucket", *frozen.key_columns)
         cdirs, crows = self._write_snapshot(compacted)
         return snapshot, cdirs, crows
 

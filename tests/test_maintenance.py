@@ -111,3 +111,27 @@ def test_repair_bucket_rebuilds_from_log(spark, tmp_path):
 
     oracle, _, _ = sequential_replay(tbl)
     assert_state_equal(PagesTable(spark, path).read().collect(), oracle)
+
+
+def test_compaction_sorts_buckets_by_key(
+    spark, event_log_dir, event_table, tmp_table_path
+):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    replay(spark, event_log_dir, tmp_table_path, num_buckets=8)
+    t = PagesTable(spark, tmp_table_path)
+    assert t.compact()["compacted_buckets"] > 0
+    m = t.manifest()
+    n_checked = 0
+    for b, dirs in m.buckets.items():
+        assert len(dirs) == 1  # folded to one vintage
+        for f in glob.glob(os.path.join(tmp_table_path, dirs[0], "*.parquet")):
+            urls = pq.read_table(f, columns=["url"]).column("url").to_pylist()
+            assert urls == sorted(urls), f"bucket {b} not key-sorted"
+            n_checked += 1
+    assert n_checked > 0
+    # state unchanged by the sorted rewrite
+    oracle, _, _ = sequential_replay(event_table)
+    assert_state_equal(t.read().collect(), oracle)
