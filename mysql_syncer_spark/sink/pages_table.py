@@ -312,7 +312,7 @@ class PagesTable:
         return live_view(st)
 
     def changes_between(
-        self, v_from: int, v_to: int | None = None
+        self, v_from: int, v_to: int | None = None, with_before: bool = False
     ) -> DataFrame:
         """Incremental changelog (CDC OUT — Iceberg incremental read): the
         net change per key between two committed snapshots, classified as
@@ -320,7 +320,13 @@ class PagesTable:
         D (live row tombstoned). Unchanged keys are excluded, so a reader
         consuming the changelog applies exactly the delta. Implemented as
         one full-outer join of the two snapshot states on the key —
-        tombstones persist across snapshots, so no key silently vanishes."""
+        tombstones persist across snapshots, so no key silently vanishes.
+
+        ``with_before=True`` adds ``before_<col>`` columns carrying the
+        v_from live payload (NULL for I rows) — the Debezium-style before
+        image that retraction consumers (incremental view maintenance,
+        downstream deletes) need: a D/U row's new-side payload cannot tell
+        you which group/amount to retract."""
         m = self.manifest()
         key = m.key_columns[0]
         rank_cols = ["_lww_ts_us", "_lww_file", "_lww_pos"]
@@ -329,22 +335,40 @@ class PagesTable:
         if s1 is None:
             fields = f"`{key}` string, `change_op` string"
             return self.spark.createDataFrame([], schema=fields)
+        payload = [c for c in s1.columns if not c.startswith("_") and c != key]
         new = s1.select(
             F.col(key).alias("_k1"),
             F.struct(*rank_cols).alias("_r1"),
             F.col("_deleted").alias("_d1"),
             *[c for c in s1.columns if not c.startswith("_")],
         )
+        before_cols = []
         if s0 is None:
             j = new.withColumn("_k0", F.lit(None).cast("string")).withColumn(
                 "_r0", F.lit(None).cast(new.schema["_r1"].dataType)
             ).withColumn("_d0", F.lit(None).cast("boolean"))
+            if with_before:
+                for c in payload:
+                    j = j.withColumn(
+                        f"before_{c}", F.lit(None).cast(s1.schema[c].dataType)
+                    )
+                    before_cols.append(f"before_{c}")
         else:
-            old = s0.select(
+            old_sel = [
                 F.col(key).alias("_k0"),
                 F.struct(*rank_cols).alias("_r0"),
                 F.col("_deleted").alias("_d0"),
-            )
+            ]
+            if with_before:
+                for c in payload:
+                    if c in s0.columns:
+                        old_sel.append(F.col(c).alias(f"before_{c}"))
+                    else:  # column added by post-v_from DDL
+                        old_sel.append(
+                            F.lit(None).cast(s1.schema[c].dataType).alias(f"before_{c}")
+                        )
+                    before_cols.append(f"before_{c}")
+            old = s0.select(*old_sel)
             j = new.join(old, new._k1 == old._k0, "full_outer")
         live0 = F.col("_k0").isNotNull() & ~F.coalesce(F.col("_d0"), F.lit(True))
         live1 = F.col("_k1").isNotNull() & ~F.coalesce(F.col("_d1"), F.lit(True))
@@ -353,7 +377,6 @@ class PagesTable:
             .when(live0 & ~live1, "D")
             .when(live0 & live1 & (F.col("_r0") != F.col("_r1")), "U")
         )
-        payload = [c for c in s1.columns if not c.startswith("_") and c != key]
         return (
             j.withColumn("change_op", change)
             .filter(F.col("change_op").isNotNull())
@@ -361,6 +384,7 @@ class PagesTable:
                 F.coalesce(F.col("_k1"), F.col("_k0")).alias(key),
                 "change_op",
                 *payload,
+                *before_cols,
             )
         )
 
