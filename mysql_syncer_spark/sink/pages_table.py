@@ -1067,14 +1067,17 @@ class PagesTable:
         """Delete data dirs not referenced by the CURRENT manifest (old
         bucket versions + orphans from crashed attempts). Safe because
         commits are copy-on-write: the current snapshot never references a
-        dir this removes. Readers of OLD snapshots lose time travel — run
-        it like Iceberg's expire_snapshots, on a retention schedule."""
-        import shutil
-
+        dir this removes. Readers of OLD snapshots lose time travel — for
+        a retention window use ``expire_snapshots(keep_last=N)``."""
         m = self.manifest()
         referenced = {
             d.split(os.sep)[1] for lst in m.buckets.values() for d in lst
         }
+        return self._gc_data_dirs(referenced)
+
+    def _gc_data_dirs(self, referenced: set) -> dict:
+        import shutil
+
         data_root = os.path.join(self.path, "data")
         removed, freed = [], 0
         for entry in os.listdir(data_root):
@@ -1086,6 +1089,42 @@ class PagesTable:
             shutil.rmtree(p, ignore_errors=True)
             removed.append(entry)
         return {"removed_dirs": removed, "freed_bytes": freed}
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg ``expire_snapshots`` parity: drop manifest versions
+        older than the newest ``keep_last``, then GC data dirs that no
+        RETAINED version references. Time travel keeps working across the
+        retention window (vacuum() is the window-of-one special case) and
+        the version directory stays O(keep_last) instead of O(commits).
+
+        Safe under the commit protocol: version files are immutable once
+        claimed, the head is always retained, and a concurrent committer
+        only ever CREATES a higher version than the head read here."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vdir = os.path.join(self.path, "_versions")
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(vdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        retained = versions[-keep_last:]
+        referenced: set = set()
+        for v in retained:
+            mv = self.manifest(version=v)
+            referenced |= {
+                d.split(os.sep)[1] for lst in mv.buckets.values() for d in lst
+            }
+        expired = []
+        for v in versions[:-keep_last] if len(versions) > keep_last else []:
+            os.remove(os.path.join(vdir, f"v{v:08d}.json"))
+            expired.append(v)
+        gc = self._gc_data_dirs(referenced)
+        return {
+            "expired_versions": expired,
+            "retained_versions": retained,
+            **gc,
+        }
 
     @staticmethod
     def _fold_ledger(m: Manifest) -> int:

@@ -135,3 +135,31 @@ def test_compaction_sorts_buckets_by_key(
     # state unchanged by the sorted rewrite
     oracle, _, _ = sequential_replay(event_table)
     assert_state_equal(t.read().collect(), oracle)
+
+
+def test_expire_snapshots_keeps_retention_window(
+    spark, event_log_dir, event_table, tmp_table_path
+):
+    replay(spark, event_log_dir, tmp_table_path, num_buckets=8)
+    t = PagesTable(spark, tmp_table_path)
+    vdir = os.path.join(tmp_table_path, "_versions")
+    n_versions = sum(1 for f in os.listdir(vdir) if f.endswith(".json"))
+    assert n_versions >= 3
+    head = t.manifest().version
+    keep = 2
+    res = t.expire_snapshots(keep_last=keep)
+    assert res["retained_versions"][-1] == head
+    assert len(res["expired_versions"]) == n_versions - keep
+    # time travel inside the window still reads; outside raises
+    prev = res["retained_versions"][0]
+    assert t.read(version=prev).count() > 0
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.manifest(version=res["expired_versions"][0])
+    # head state intact
+    oracle, _, _ = sequential_replay(event_table)
+    assert_state_equal(t.read().collect(), oracle)
+    # idempotent: nothing further to expire or GC
+    res2 = t.expire_snapshots(keep_last=keep)
+    assert res2["expired_versions"] == [] and res2["removed_dirs"] == []
