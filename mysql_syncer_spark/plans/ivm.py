@@ -110,3 +110,51 @@ def maintain_view(
     it stepwise across a full replay), at O(changed keys) cost."""
     log = table.changes_between(v_from, v_to, with_before=True)
     return merge_view(view, view_delta(log, dim, metrics))
+
+
+def sync_view(
+    table,
+    view_path: str,
+    dim: Callable,
+    metrics: dict[str, Callable],
+) -> dict:
+    """Advance a PERSISTED materialized view to the table's current head
+    using only the changelog since the last synced version — the consumer
+    loop a downstream team would run on a schedule or per commit
+    notification.
+
+    Layout: ``<view_path>/view-v<N>/`` parquet snapshots + an atomically
+    renamed ``CURRENT`` JSON recording {table_version, dir}. Crash-safe
+    and idempotent: the fold is a deterministic function of (old view,
+    changelog range), and CURRENT flips only after the new snapshot is
+    fully written — a re-run after any crash folds the same range again
+    from the still-referenced old snapshot. Syncing twice at the same
+    head is a no-op."""
+    import json
+    import os
+    import uuid
+
+    spark = table.spark
+    head = table.manifest().version
+    os.makedirs(view_path, exist_ok=True)
+    cur_path = os.path.join(view_path, "CURRENT")
+    state = None
+    if os.path.exists(cur_path):
+        with open(cur_path) as f:
+            state = json.load(f)
+    last = state["table_version"] if state else 0
+    if state and last >= head:
+        return {"synced_to": last, "skipped": True}
+    view = (
+        spark.read.parquet(os.path.join(view_path, state["dir"]))
+        if state
+        else None
+    )
+    new_view = maintain_view(table, dim, metrics, last, head, view=view)
+    rel = f"view-v{head}-{uuid.uuid4().hex[:8]}"
+    new_view.write.mode("error").parquet(os.path.join(view_path, rel))
+    tmp = cur_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"table_version": head, "dir": rel}, f)
+    os.replace(tmp, cur_path)
+    return {"synced_to": head, "from": last, "dir": rel, "skipped": False}

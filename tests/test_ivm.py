@@ -96,3 +96,59 @@ def test_delta_is_changed_keys_only(spark, replayed):
     base = maintain_view(t, _dim, METRICS, 0, head, view=None)
     merged = merge_view(base, view_delta(log, _dim, METRICS))
     assert _as_dict(merged) == _as_dict(base)
+
+
+def test_sync_view_follows_streaming_replay(spark, event_log_dir):
+    """Persisted view tails a STREAMING replay across two bounded runs:
+    each sync folds only the new changelog range, a re-sync is a no-op,
+    and a crash before the CURRENT flip is repaired by re-folding."""
+    import glob
+    import json
+    import shutil
+
+    from mysql_syncer_spark.plans.ivm import sync_view
+    from mysql_syncer_spark.streaming.runner import run_streaming_replay
+
+    work = tempfile.mkdtemp(prefix="ivmstream_")
+    live_log = os.path.join(work, "log")
+    os.makedirs(live_log)
+    files = sorted(glob.glob(os.path.join(event_log_dir, "binlog-*.parquet")))
+    assert len(files) >= 2
+    shutil.copy(files[0], live_log)
+    tpath = os.path.join(work, "pages")
+    ckpt = os.path.join(work, "ckpt")
+    vpath = os.path.join(work, "view")
+
+    run_streaming_replay(spark, live_log, tpath, ckpt, num_buckets=8, timeout_sec=120)
+    t = PagesTable(spark, tpath)
+    r1 = sync_view(t, vpath, _dim, METRICS)
+    assert r1["skipped"] is False and r1["from"] == 0
+
+    def view_now():
+        cur = json.load(open(os.path.join(vpath, "CURRENT")))
+        return _as_dict(spark.read.parquet(os.path.join(vpath, cur["dir"])))
+
+    assert view_now() == _recompute(t, t.manifest().version)
+
+    # more binlog arrives; the checkpointed stream resumes and the view
+    # folds only the tail
+    for f in files[1:]:
+        shutil.copy(f, live_log)
+    run_streaming_replay(spark, live_log, tpath, ckpt, num_buckets=8, timeout_sec=240)
+    saved_current = open(os.path.join(vpath, "CURRENT")).read()
+    r2 = sync_view(t, vpath, _dim, METRICS)
+    assert r2["skipped"] is False and r2["from"] == r1["synced_to"]
+    head = t.manifest().version
+    want = _recompute(t, head)
+    assert view_now() == want
+
+    # same head again → no-op
+    assert sync_view(t, vpath, _dim, METRICS)["skipped"] is True
+
+    # crash simulation: CURRENT never flipped after the second fold —
+    # the re-run folds the same range again and converges to the same view
+    with open(os.path.join(vpath, "CURRENT"), "w") as f:
+        f.write(saved_current)
+    r3 = sync_view(t, vpath, _dim, METRICS)
+    assert r3["skipped"] is False and r3["from"] == r1["synced_to"]
+    assert view_now() == want
