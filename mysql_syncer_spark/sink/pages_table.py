@@ -946,7 +946,7 @@ class PagesTable:
         return dirs, self._footer_rowcounts(out)
 
     def _compact_compute(
-        self, frozen: Manifest, bucket_ids: list[str]
+        self, frozen: Manifest, bucket_ids: list[str], transform=None
     ) -> tuple[dict[str, list[str]], dict[str, str], dict[str, int]]:
         """Read the given buckets' vintages AS OF a frozen manifest, merge
         to one file per bucket, write. Pure compute — mutates nothing;
@@ -962,6 +962,8 @@ class PagesTable:
         compacted = self._bucket_merge(
             cur.withColumn("_bucket", bucket_col), list(frozen.key_columns)
         )
+        if transform is not None:
+            compacted = transform(compacted)
         # sort-on-compact (Iceberg rewrite_data_files sort-order parity):
         # the merge output is already partitioned by _bucket, so this is a
         # per-partition in-memory sort — no exchange — and the compacted
@@ -998,6 +1000,37 @@ class PagesTable:
         self._compact_buckets(m, target, f"compact-v{m.version}")
         self._commit(m)
         return {"compacted_buckets": len(target)}
+
+    def backfill(self, transform, buckets: list[int] | None = None) -> dict:
+        """Transactional derived-column backfill (the extractor-upgrade
+        operation: recompute ``text`` — or any payload column — for every
+        LIVE winner with a new transform, without replaying the log).
+
+        Per bucket: read the merged current state, apply ``transform``
+        (DataFrame -> DataFrame over payload + hidden columns — it must
+        not touch the key or the LWW rank columns, which keep future CDC
+        merges ordering correctly against backfilled rows), write ONE new
+        vintage replacing the bucket's list, commit once atomically.
+        Time travel to pre-backfill versions still reads the old files;
+        the batch ledger is untouched, so replaying committed batches
+        stays a no-op. Cost: O(table) once, bucket-parallel, one payload
+        shuffle (the same plan shape as compaction)."""
+        m = self.manifest()
+        target = (
+            list(m.buckets.keys())
+            if buckets is None
+            else [str(b) for b in buckets if str(b) in m.buckets]
+        )
+        if not target:
+            return {"backfilled_buckets": 0}
+        m.version += 1
+        bid = f"backfill-v{m.version}"
+        _, cdirs, crows = self._compact_compute(m, target, transform=transform)
+        for b, d in cdirs.items():
+            m.buckets[b] = [d]
+            m.lineage[b] = {"batch_id": bid, "rows": crows.get(b, 0)}
+        self._commit(m)
+        return {"backfilled_buckets": len(target), "version": m.version}
 
     def _apply_ddl(self, m: Manifest, d: dict) -> None:
         """ADD/RENAME COLUMN, idempotent under redelivery."""

@@ -163,3 +163,34 @@ def test_expire_snapshots_keeps_retention_window(
     # idempotent: nothing further to expire or GC
     res2 = t.expire_snapshots(keep_last=keep)
     assert res2["expired_versions"] == [] and res2["removed_dirs"] == []
+
+
+def test_backfill_recomputes_derived_column(
+    spark, event_log_dir, event_table, tmp_table_path
+):
+    import pyspark.sql.functions as F
+
+    replay(spark, event_log_dir, tmp_table_path, num_buckets=8)
+    t = PagesTable(spark, tmp_table_path)
+    v_before = t.manifest().version
+    before = {r["url"]: r.asDict() for r in t.read().collect()}
+
+    def upgraded_extractor(df):
+        return df.withColumn(
+            "text", F.concat(F.lit("v2|"), F.coalesce(F.col("text"), F.lit("")))
+        )
+
+    res = t.backfill(upgraded_extractor)
+    assert res["backfilled_buckets"] > 0
+    after = {r["url"]: r.asDict() for r in t.read().collect()}
+    assert set(after) == set(before)
+    for url, row in after.items():
+        want = dict(before[url])
+        want["text"] = "v2|" + (want["text"] or "")
+        assert row == want, url
+    # time travel to the pre-backfill snapshot is untouched
+    old = {r["url"]: r.asDict() for r in t.read(version=v_before).collect()}
+    assert old == before
+    # the ledger is untouched: a replay of committed batches stays a no-op
+    res2 = replay(spark, event_log_dir, tmp_table_path, num_buckets=8)
+    assert all(b.get("skipped") for b in res2["batches"])
