@@ -582,7 +582,12 @@ def duplicated_spans(
     """
     from pyspark.sql import Window
 
-    fps = span_fingerprints(df, id_col, text_col, width, anchor_k, anchor_mod)
+    # lazily checkpoint: the fingerprint lineage (scan + per-position
+    # anchor hashing) feeds both the per-fp census and the removable-
+    # window join; without the checkpoint it runs twice.
+    fps = span_fingerprints(
+        df, id_col, text_col, width, anchor_k, anchor_mod
+    ).localCheckpoint(eager=False)
     per_fp = (
         fps.select("fp", id_col)
         .distinct()

@@ -150,3 +150,39 @@ def test_span_stats_duckdb_oracle_parity(spark, sf_dir):
     assert got == want
     # sanity: the corpus is known to carry near-dups — spans must fire
     assert sum(1 for v in got.values() if v[0] > 0) > 0
+
+
+def test_planted_duplicates_randomized(spark):
+    """Seeded random corpus with PLANTED shared runs at arbitrary
+    offsets: every planted copy in a non-keeper doc must be detected
+    (run length 240 >> width → anchor-miss probability ~(7/8)^200,
+    negligible; the seed pins the corpus so this is deterministic)."""
+    import random
+
+    rng = random.Random(1234)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    planted = "".join(rng.choice(alpha) for _ in range(240))
+    rows = []
+    has_plant = set()
+    for i in range(30):
+        body = "".join(rng.choice(alpha) for _ in range(rng.randint(150, 600)))
+        if i % 3 == 0:
+            cut = rng.randint(0, len(body))
+            body = body[:cut] + planted + body[cut:]
+            has_plant.add(i)
+        rows.append((i, body))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {
+        r["doc_id"]: r
+        for r in duplicated_span_stats(df, width=50).collect()
+    }
+    keeper = min(has_plant)
+    for i in sorted(has_plant):
+        if i == keeper:
+            continue
+        assert stats[i]["dup_chars"] >= 150, (i, stats[i])
+    # the keeper and the plant-free docs stay clean (random 50-char
+    # collisions across 26-letter strings don't happen)
+    assert stats[keeper]["n_dup_spans"] == 0
+    for i in set(range(30)) - has_plant:
+        assert stats[i]["n_dup_spans"] == 0, i
