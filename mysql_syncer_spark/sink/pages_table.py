@@ -311,6 +311,41 @@ class PagesTable:
             return self.spark.createDataFrame([], schema=fields)
         return live_view(st)
 
+    def version_as_of(self, ts_ms: int) -> int:
+        """Newest committed version whose commit wall clock is <= ts_ms
+        (Iceberg timestamp-based time travel). Driver-side walk of the
+        O(retained versions) manifest JSONs; versions predating the
+        commit_ts_ms metric count as arbitrarily old."""
+        vdir = os.path.join(self.path, "_versions")
+        best = None
+        for fn in sorted(os.listdir(vdir)):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(vdir, fn)) as f:
+                mj = json.load(f)
+            cts = (mj.get("metrics") or {}).get("commit_ts_ms", 0)
+            if int(cts) <= ts_ms:
+                best = int(mj["version"])
+        if best is None:
+            raise ValueError(f"no committed version at or before ts {ts_ms}")
+        return best
+
+    def read_as_of(self, ts_ms: int) -> DataFrame:
+        """Snapshot view as of a WALL-CLOCK instant (commit time)."""
+        return self.read(version=self.version_as_of(ts_ms))
+
+    def replication_lag_ms(self) -> int | None:
+        """Commit-time minus event-time high-water of the latest data
+        commit — the replication-lag gauge a monitoring stack alerts on.
+        None until a batch with events has committed."""
+        m = self.manifest()
+        met = m.metrics or {}
+        wm_us = int(met.get("max_event_ts_us", 0) or 0)
+        cts = int(met.get("commit_ts_ms", 0) or 0)
+        if not wm_us or not cts:
+            return None
+        return max(0, cts - wm_us // 1000)
+
     def changes_between(
         self, v_from: int, v_to: int | None = None, with_before: bool = False
     ) -> DataFrame:
@@ -598,6 +633,12 @@ class PagesTable:
                 "ddl_applied": n_ddl,
                 "buckets_touched": len(new_dirs),
                 "merge_ms": int((time.time() - t0) * 1000),
+                # event-time high-water of the batch + commit wall clock:
+                # commit_ts_ms - watermark/1000 IS the replication lag a
+                # monitoring stack alerts on (D5), and commit_ts_ms gives
+                # wall-clock time travel (read_as_of)
+                "max_event_ts_us": int(delta.get("max_event_ts_us", 0) or 0),
+                "commit_ts_ms": int(time.time() * 1000),
                 "salted_merge": bool(delta["use_salted"]),
                 "max_key_rows": delta["max_key_rows"],
                 "skew_probed": bool(delta.get("skew_probed", True)),
@@ -873,10 +914,15 @@ class PagesTable:
                 .agg(
                     F.count(F.lit(1)).alias("n"),
                     F.approx_count_distinct(F.xxhash64(*cfg.key_columns)).alias("nk"),
+                    F.max("_lww_ts_us").alias("mx_ts"),
                 )
                 .collect()
             )
             events_in = int(sum(r["n"] for r in stats))
+            max_event_ts_us = max(
+                (int(r["mx_ts"]) for r in stats if r["mx_ts"] is not None),
+                default=0,
+            )
             max_key_rows = int(
                 max((r["n"] - min(r["nk"], r["n"]) + 1 for r in stats), default=0)
             )
@@ -897,6 +943,7 @@ class PagesTable:
                 obs,
                 F.count(F.lit(1)).alias("n"),
                 F.approx_count_distinct(F.xxhash64(*cfg.key_columns)).alias("nk"),
+                F.max("_lww_ts_us").alias("mx_ts"),
             )
 
         new_dirs: dict[str, str] = {}
@@ -914,6 +961,7 @@ class PagesTable:
         if not probed:
             got = obs.get
             events_in = int(got["n"])
+            max_event_ts_us = int(got["mx_ts"]) if got["mx_ts"] is not None else 0
             nk = min(int(got["nk"]), events_in)
             # global duplicate mass bounds any single bucket's from above
             max_key_rows = (events_in - nk + 1) if events_in else 0
@@ -926,6 +974,7 @@ class PagesTable:
             "use_salted": use_salted,
             "skew_probed": probed,
             "dup_share": round(dup_share, 4),
+            "max_event_ts_us": max_event_ts_us,
         }
 
     def _write_snapshot(

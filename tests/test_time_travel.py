@@ -99,3 +99,35 @@ def test_history_metadata_table(spark, tmp_path):
     # ledger grows (or holds, post-fold) along the history
     ledgers = [r["ledger_entries"] for r in h]
     assert ledgers[-1] >= 1
+
+
+def test_wall_clock_time_travel_and_lag(spark, event_log_dir, tmp_table_path):
+    import json
+    import os
+
+    from mysql_syncer_spark.plans.replay import replay
+
+    replay(spark, event_log_dir, tmp_table_path, num_buckets=8)
+    t = PagesTable(spark, tmp_table_path)
+    vdir = os.path.join(tmp_table_path, "_versions")
+    stamped = []
+    for fn in sorted(f for f in os.listdir(vdir) if f.endswith(".json")):
+        mj = json.load(open(os.path.join(vdir, fn)))
+        cts = (mj.get("metrics") or {}).get("commit_ts_ms")
+        if cts:
+            stamped.append((int(mj["version"]), int(cts)))
+    assert len(stamped) >= 2
+    # commit timestamps are monotone with version order
+    assert [v for v, _ in stamped] == sorted(v for v, _ in stamped)
+    assert all(a[1] <= b[1] for a, b in zip(stamped, stamped[1:]))
+    mid_v, mid_ts = stamped[len(stamped) // 2]
+    assert t.version_as_of(mid_ts) == mid_v
+    got = {r["url"] for r in t.read_as_of(mid_ts).collect()}
+    want = {r["url"] for r in t.read(version=mid_v).collect()}
+    assert got == want
+    # before the first stamped commit only the unstamped create
+    # version (arbitrarily old by contract) qualifies
+    assert t.version_as_of(stamped[0][1] - 10_000) < stamped[0][0]
+    # lag gauge: commit happened after the newest event in the log
+    lag = t.replication_lag_ms()
+    assert lag is not None and lag >= 0
