@@ -1050,6 +1050,52 @@ class PagesTable:
         self._commit(m)
         return {"compacted_buckets": len(target)}
 
+    def rebucket(self, new_num_buckets: int) -> dict:
+        """Online partition-spec evolution (Iceberg bucket-count change):
+        re-hash every live winner + tombstone into ``new_num_buckets``
+        buckets and commit the new layout atomically. A table created at
+        64 buckets that grew 100× gets its parallelism and pruning back
+        without downtime:
+
+        - readers of PRIOR versions keep the OLD layout — each manifest
+          carries its own num_buckets, so time travel and changelogs
+          across the boundary stay correct;
+        - writers pick up the new count from the manifest on their next
+          batch (the bucket column is derived per batch from the mapping
+          snapshot), and the ledger is untouched, so replay/redelivery
+          idempotence survives the rewrite;
+        - cost: one full-table payload shuffle on the NEW bucket key —
+          the same shape as a full compaction, run as maintenance.
+        """
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        m = self.manifest()
+        if new_num_buckets == m.num_buckets:
+            return {"rebucketed": False, "num_buckets": m.num_buckets}
+        cur = self._read_buckets(m, None)
+        m.version += 1
+        bid = f"rebucket-v{m.version}"
+        m.num_buckets = new_num_buckets
+        m.buckets = {}
+        m.lineage = {}
+        if cur is not None:
+            bucket_col = F.pmod(
+                F.xxhash64(*m.key_columns), F.lit(new_num_buckets)
+            ).cast("int")
+            merged = self._bucket_merge(
+                cur.withColumn("_bucket", bucket_col), list(m.key_columns)
+            ).sortWithinPartitions("_bucket", *m.key_columns)
+            cdirs, crows = self._write_snapshot(merged)
+            for b, d in cdirs.items():
+                m.buckets[b] = [d]
+                m.lineage[b] = {"batch_id": bid, "rows": crows.get(b, 0)}
+        self._commit(m)
+        return {
+            "rebucketed": True,
+            "num_buckets": new_num_buckets,
+            "version": m.version,
+        }
+
     def backfill(self, transform, buckets: list[int] | None = None) -> dict:
         """Transactional derived-column backfill (the extractor-upgrade
         operation: recompute ``text`` — or any payload column — for every

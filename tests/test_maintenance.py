@@ -194,3 +194,48 @@ def test_backfill_recomputes_derived_column(
     # the ledger is untouched: a replay of committed batches stays a no-op
     res2 = replay(spark, event_log_dir, tmp_table_path, num_buckets=8)
     assert all(b.get("skipped") for b in res2["batches"])
+
+
+def test_rebucket_online_layout_change(spark, event_log_dir, event_table):
+    import glob
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="rebkt_")
+    live = os.path.join(work, "log")
+    os.makedirs(live)
+    files = sorted(glob.glob(os.path.join(event_log_dir, "binlog-*.parquet")))
+    assert len(files) >= 2
+    shutil.copy(files[0], live)
+    path = os.path.join(work, "pages")
+    replay(spark, live, path, num_buckets=4)
+    t = PagesTable(spark, path)
+    v_old = t.manifest().version
+    old_state = {r["url"]: r.asDict() for r in t.read().collect()}
+
+    res = t.rebucket(16)
+    assert res["rebucketed"] and t.manifest().num_buckets == 16
+    assert len(t.manifest().buckets) <= 16 and len(t.manifest().buckets) > 4
+    assert {r["url"]: r.asDict() for r in t.read().collect()} == old_state
+    # time travel across the boundary reads the OLD layout correctly
+    assert {r["url"]: r.asDict() for r in t.read(version=v_old).collect()} == old_state
+
+    # subsequent CDC batches apply into the NEW layout; final state must
+    # equal an uninterrupted replay
+    for f in files[1:]:
+        shutil.copy(f, live)
+    replay(spark, live, path, num_buckets=4)  # num_buckets arg ignored: table exists
+    oracle, _, _ = sequential_replay(event_table)
+    assert_state_equal(t.read().collect(), oracle)
+
+    # point lookup routes by the new bucket count
+    url = next(iter(oracle))
+    row = t.lookup(url).collect()
+    assert len(row) == 1 and row[0]["url"] == url
+
+    # no-op and validation paths
+    assert t.rebucket(16)["rebucketed"] is False
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.rebucket(0)
