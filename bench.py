@@ -51,6 +51,8 @@ HEADLINE = [
     "emb_lsh_block_cosine_pairs",
     "doc_unigram_nll",
     "doc_pack_sequences",
+    "doc_dup_span_stats",
+    "doc_bm25_topk",
 ]
 
 
