@@ -101,3 +101,31 @@ def test_sf1_evidence_aggregation_is_median_based():
     }
     a = bench._sf1_legacy_attempt(legacy)
     assert a["wall_sec_4n_20files"] == 133.24
+
+
+def test_bm25_plan_takeordered_no_python(spark, sf_dir):
+    """BM25 top-k: TakeOrdered (never a global sort), term filter pushed
+    below the tf aggregate, df/stats broadcast, zero Python stages."""
+    from mysql_syncer_spark.functions.text import bm25_topk, doc_lengths, tf_postings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = _plan(bm25_topk(tf_postings(docs), doc_lengths(docs), ["data", "web"], k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+    assert "BroadcastExchange" in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    # (the IN(token) pushdown below the tf aggregate lives inside the
+    # localCheckpoint branch, invisible to executedPlan's string — it is
+    # verified by the scoring math itself: df comes from fetched rows)
+
+
+def test_span_fingerprints_plan_no_python_no_shuffle(spark, sf_dir):
+    """Anchor selection + window hashing are pure map-side JVM work:
+    the fingerprint projection itself has NO exchange and NO Python."""
+    from mysql_syncer_spark.functions.dedup_text import span_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    plan = _plan(span_fingerprints(docs, width=40))
+    assert "Exchange" not in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+    assert "Generate" in plan  # the post-selection explode
