@@ -8,6 +8,9 @@ semantics and oracle live with its own module/tests):
   3. near dedup       minhash LSH candidates verified by exact
                       token-set Jaccard (default; candidates-only with
                       near_dup_jaccard=None) → reject non-keepers
+  3b. span strip      optional dedup_text.strip_duplicated_spans over the
+                      survivors (Lee-et-al exact substring dedup: shared
+                      boilerplate runs cut from non-keepers)
   4. LM scoring       text.unigram_nll over the SURVIVORS (the corpus-as-
                       LM should be fit on what you keep)
   5. quality buckets  mixture.quality_buckets_2pass per domain (map-only
@@ -33,6 +36,7 @@ from pyspark.sql import functions as F
 from mysql_syncer_spark.functions.dedup_text import (
     lsh_candidate_pairs,
     minhash_signatures,
+    strip_duplicated_spans,
     verified_near_duplicates,
 )
 from mysql_syncer_spark.functions.mixture import (
@@ -60,6 +64,7 @@ def build_training_corpus(
     max_punct_ratio: float = 0.3,
     bucket_rate_mult: dict[str, float] | None = None,
     near_dup_jaccard: float | None = 0.5,
+    strip_span_width: int | None = None,
     holdout: float = 0.01,
     pack_budget: int = 2048,
     seed: str = "corpus1",
@@ -68,7 +73,10 @@ def build_training_corpus(
     (id, domain, bucket, n_copies, split, pack_group, shard_idx,
     start_tok, n_tokens). ``bucket_rate_mult`` scales each domain's epoch
     rate by quality bucket, e.g. {'head': 1.5, 'middle': 1.0, 'tail': 0}
-    — a 0 drops the bucket entirely."""
+    — a 0 drops the bucket entirely. ``strip_span_width`` (e.g. 50) turns
+    on exact duplicated-substring stripping over the dedup survivors:
+    boilerplate runs shared across docs are CUT from every non-keeper
+    before LM scoring and packing, so both see the cleaned text."""
     feats = quality_features(F.col(text_col))
     scored = docs.select(
         id_col,
@@ -109,6 +117,16 @@ def build_training_corpus(
         id_col,
         "left_anti",
     ).localCheckpoint(eager=False)
+
+    if strip_span_width is not None:
+        stripped = strip_duplicated_spans(
+            kept, id_col, text_col, width=strip_span_width
+        )
+        kept = (
+            kept.drop(text_col)
+            .join(stripped, id_col)
+            .localCheckpoint(eager=False)
+        )
 
     nll = unigram_nll(kept, id_col, text_col)
     bucketed = quality_buckets_2pass(

@@ -57,3 +57,41 @@ def test_build_deterministic(spark):
     a = sorted(map(tuple, build_training_corpus(docs, near_dup_jaccard=0.8).collect()))
     b = sorted(map(tuple, build_training_corpus(docs, near_dup_jaccard=0.8).collect()))
     assert a == b
+
+
+def test_build_with_span_stripping(spark):
+    # distinct documents (low token Jaccard -> near-dedup keeps them all)
+    # that share one long boilerplate run -> span stripping must cut it
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha","bravo","charlie","delta","echo","foxtrot","golf",
+             "hotel","india","juliet","kilo","lima","mike","november",
+             "oscar","papa","quebec","romeo","sierra","tango","the","a",
+             "is","and","of"]
+    boiler = "subscribe to our newsletter for all the latest updates and offers"
+    rows = []
+    for i in range(12):
+        body = " ".join(rng.choice(words) for _ in range(40))
+        rows.append((i, body + " " + boiler, "en", f"d{i % 3}", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    base = build_training_corpus(docs, near_dup_jaccard=0.8)
+    stripped = build_training_corpus(
+        docs, near_dup_jaccard=0.8, strip_span_width=40
+    )
+    b = {r["doc_id"]: r for r in base.collect()}
+    s = {r["doc_id"]: r for r in stripped.collect()}
+    assert set(s) == set(b)  # stripping changes text, never membership
+    # shared boilerplate runs were cut somewhere → total packed tokens drop,
+    # and no doc ever gains tokens
+    tb = sum(r["n_tokens"] for r in b.values())
+    ts = sum(r["n_tokens"] for r in s.values())
+    assert ts < tb
+    assert all(s[i]["n_tokens"] <= b[i]["n_tokens"] for i in s)
+    # deterministic
+    again = {r["doc_id"]: r for r in build_training_corpus(
+        docs, near_dup_jaccard=0.8, strip_span_width=40
+    ).collect()}
+    assert again == s
