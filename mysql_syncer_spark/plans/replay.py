@@ -201,7 +201,14 @@ def replay(
     else:
         table = PagesTable.create(spark, table_path, num_buckets=num_buckets)
 
-    if pipeline_depth > 1:
+    # ONE pushed-predicate scan collects every batch's DDL up front (both
+    # paths) — DDL events are never transaction-deferred (tx_id is NULL),
+    # so the per-file grouping matches the batch boundaries exactly. With
+    # an event_filter active (repair / bootstrap trims events) the serial
+    # loop falls back to per-batch collection so filtered-out DDL is
+    # never applied.
+    ddl_index: dict[str, list[dict]] = {}
+    if event_filter is None:
         ddl_rows = (
             read_event_log(spark, event_dir)
             .filter(F.col("op") == "DDL")
@@ -209,9 +216,10 @@ def replay(
             .orderBy("file_seq", "log_pos")
             .collect()
         )
-        ddl_index: dict[str, list[dict]] = {}
         for r in ddl_rows:
             ddl_index.setdefault(f"fileseq-{r['file_seq']}", []).append(r.asDict())
+
+    if pipeline_depth > 1:
         batches = table.apply_batches_pipelined(
             (
                 (f"fileseq-{seq}", batch)
@@ -222,11 +230,36 @@ def replay(
             ddl_index=ddl_index,
         )
     else:
+        # serial-loop skew planner — the same amortization the pipelined
+        # path does internally: probe the first batch, carry the salting
+        # decision, re-probe only when the free observe() duplicate-share
+        # signal moves more than salt_reprobe_delta (skew in a CDC stream
+        # is persistent — hot domains stay hot).
         batches = []
+        planner = {"last_probe_share": None, "salted": False, "latest": None}
         for seq, batch in iter_tx_gated_batches(spark, event_dir, from_file_seq):
             if event_filter is not None:
                 batch = event_filter(batch)
-            res = table.apply_batch(batch_id=f"fileseq-{seq}", events=batch, cfg=cfg)
+            if cfg.skew_probe != "auto" or planner["last_probe_share"] is None:
+                carry = None  # probe (apply_batch resolves always/never)
+            elif (
+                planner["latest"] is not None
+                and abs(planner["latest"] - planner["last_probe_share"])
+                > cfg.salt_reprobe_delta
+            ):
+                carry = None  # signal moved → re-probe
+            else:
+                carry = planner["salted"]
+            res = table.apply_batch(
+                batch_id=f"fileseq-{seq}", events=batch, cfg=cfg,
+                carry_salted=carry,
+                ddls=ddl_index.get(f"fileseq-{seq}", []) if event_filter is None else None,
+            )
+            if not res.get("skipped"):
+                if res.get("skew_probed"):
+                    planner["last_probe_share"] = res.get("dup_share")
+                    planner["salted"] = bool(res.get("salted_merge"))
+                planner["latest"] = res.get("dup_share")
             batches.append(res)
     total_events = sum(b.get("events_in", 0) for b in batches)
     return {

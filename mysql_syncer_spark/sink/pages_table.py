@@ -503,8 +503,18 @@ class PagesTable:
         events: DataFrame,
         cfg: TableConfig | None = None,
         server_id: int | None = None,
+        carry_salted: bool | None = None,
+        ddls: list[dict] | None = None,
     ) -> dict:
         """Apply one micro-batch of CDC events. Idempotent on ``batch_id``.
+
+        ``carry_salted``: a caller that streams many batches (plans/replay
+        serial loop, foreachBatch) can carry the skew planner's previous
+        decision here to SKIP the keys-only probe job — the same
+        amortization the pipelined path does internally; None probes.
+        ``ddls``: this batch's DDL dicts when the caller pre-collected
+        them for the whole log in ONE pushed-predicate scan (plans/replay)
+        — skips the per-batch DDL collect job; None collects here.
 
         Pipeline — ONE payload shuffle total:
         filter (F1-F4) → split row/DDL → DDL → manifest schema (D3) →
@@ -539,24 +549,31 @@ class PagesTable:
 
         # --- DDL → schema/mapping mutation (applied before the merge,
         # committed atomically with it) --------------------------------
-        ddls = [
-            r.asDict()
-            for r in ddl_events.select("ddl.*", "file_seq", "log_pos")
-            .orderBy("file_seq", "log_pos")
-            .collect()
-        ]
+        if ddls is None:
+            ddls = [
+                r.asDict()
+                for r in ddl_events.select("ddl.*", "file_seq", "log_pos")
+                .orderBy("file_seq", "log_pos")
+                .collect()
+            ]
         n_ddl = len(ddls)
         for d in ddls:
             self._apply_ddl(m, d)
         mark("ddl_collect")
 
+        if cfg.skew_probe == "never":
+            carry = False if carry_salted is None else carry_salted
+        elif cfg.skew_probe == "always":
+            carry = None
+        else:
+            carry = carry_salted
         delta = self._write_batch_delta(
             row_events,
             cfg,
             dict(m.column_mapping),
             m.num_buckets,
             mark,
-            carry_salted=False if cfg.skew_probe == "never" else None,
+            carry_salted=carry,
             target_types=dict(m.schema),
         )
         res = self._commit_batch(
@@ -959,13 +976,20 @@ class PagesTable:
             new_dirs, lineage_rows = self._write_snapshot(merged)
             mark("merge_write")
         if not probed:
-            got = obs.get
-            events_in = int(got["n"])
-            max_event_ts_us = int(got["mx_ts"]) if got["mx_ts"] is not None else 0
-            nk = min(int(got["nk"]), events_in)
-            # global duplicate mass bounds any single bucket's from above
-            max_key_rows = (events_in - nk + 1) if events_in else 0
-            dup_share = (events_in - nk) / events_in if events_in else 0.0
+            if new_dirs:
+                got = obs.get
+                events_in = int(got["n"])
+                max_event_ts_us = int(got["mx_ts"]) if got["mx_ts"] is not None else 0
+                nk = min(int(got["nk"]), events_in)
+                # global duplicate mass bounds any single bucket's from above
+                max_key_rows = (events_in - nk + 1) if events_in else 0
+                dup_share = (events_in - nk) / events_in if events_in else 0.0
+            else:
+                # fully-filtered (heartbeat) batch: the write ran zero
+                # tasks, so the CollectMetrics node never fired and
+                # obs.get would assert — there is nothing to observe
+                events_in = max_key_rows = max_event_ts_us = 0
+                dup_share = 0.0
         return {
             "new_dirs": new_dirs,
             "lineage_rows": lineage_rows,
