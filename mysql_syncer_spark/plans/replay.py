@@ -208,7 +208,11 @@ def replay(
     # loop falls back to per-batch collection so filtered-out DDL is
     # never applied.
     ddl_index: dict[str, list[dict]] = {}
-    if event_filter is None:
+    n_named = sum(1 for fn in os.listdir(event_dir) if _BINLOG_RE.search(fn))
+    have_index = event_filter is None and (n_named != 1 or pipeline_depth > 1)
+    if have_index:
+        # (a 1-file log gains nothing from the upfront scan — the
+        # per-batch collect is the same single job)
         ddl_rows = (
             read_event_log(spark, event_dir)
             .filter(F.col("op") == "DDL")
@@ -253,7 +257,7 @@ def replay(
             res = table.apply_batch(
                 batch_id=f"fileseq-{seq}", events=batch, cfg=cfg,
                 carry_salted=carry,
-                ddls=ddl_index.get(f"fileseq-{seq}", []) if event_filter is None else None,
+                ddls=ddl_index.get(f"fileseq-{seq}", []) if have_index else None,
             )
             if not res.get("skipped"):
                 if res.get("skew_probed"):
