@@ -1074,6 +1074,36 @@ class PagesTable:
         self._commit(m)
         return {"compacted_buckets": len(target)}
 
+    def tag(self, name: str, version: int | None = None) -> dict:
+        """Name a committed snapshot (Iceberg tag parity). Tags live in
+        ``_versions/TAGS.json`` — metadata only, atomic replace; a tagged
+        version should be kept out of ``expire_snapshots`` windows by the
+        operator (same contract as Iceberg's tag retention)."""
+        if version is None:
+            version = self.manifest().version
+        else:
+            self.manifest(version)  # raises if the snapshot doesn't exist
+        tags = self.tags()
+        tags[name] = int(version)
+        tmp = os.path.join(self.path, "_versions", f".tags-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(tags, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, "_versions", "TAGS.json"))
+        return {"tag": name, "version": int(version)}
+
+    def tags(self) -> dict[str, int]:
+        p = os.path.join(self.path, "_versions", "TAGS.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def read_tag(self, name: str) -> DataFrame:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"unknown tag {name!r}")
+        return self.read(version=tags[name])
+
     def rebucket(self, new_num_buckets: int) -> dict:
         """Online partition-spec evolution (Iceberg bucket-count change):
         re-hash every live winner + tombstone into ``new_num_buckets``

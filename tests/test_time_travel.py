@@ -131,3 +131,24 @@ def test_wall_clock_time_travel_and_lag(spark, event_log_dir, tmp_table_path):
     # lag gauge: commit happened after the newest event in the log
     lag = t.replication_lag_ms()
     assert lag is not None and lag >= 0
+
+
+def test_named_snapshot_tags(spark, event_log_dir, tmp_table_path):
+    import pytest as _pytest
+
+    from mysql_syncer_spark.plans.replay import replay
+
+    replay(spark, event_log_dir, tmp_table_path, num_buckets=8)
+    t = PagesTable(spark, tmp_table_path)
+    head = t.manifest().version
+    t.tag("after-initial-load")
+    t.tag("halfway", version=max(1, head // 2))
+    assert t.tags() == {"after-initial-load": head, "halfway": max(1, head // 2)}
+    assert {r["url"] for r in t.read_tag("after-initial-load").collect()} == {
+        r["url"] for r in t.read().collect()
+    }
+    assert t.read_tag("halfway").count() <= t.read().count() + 1_000_000  # readable
+    with _pytest.raises(KeyError):
+        t.read_tag("nope")
+    with _pytest.raises(FileNotFoundError):
+        t.tag("bad", version=99999)
