@@ -160,3 +160,42 @@ def test_point_lookup_prunes_to_one_bucket(spark, replayed, event_table):
         F.pmod(F.xxhash64("url"), F.lit(m.num_buckets)).cast("int").alias("b")
     ).head()["b"]
     assert len(m.buckets[str(probe)]) < total_dirs
+
+
+def test_pipelined_crash_mid_stream_then_resume(spark, tmp_path_factory):
+    """Kill the pipelined replay after the batch generator has yielded
+    only part of the stream (crash with writes in flight), then resume
+    with a normal full replay: already-committed batches skip, the rest
+    apply, final state equals the oracle — exactly-once across the crash."""
+    import tempfile
+
+    from mysql_syncer_spark.generator import GenSpec, generate_events, write_event_log
+    from mysql_syncer_spark.plans.replay import iter_tx_gated_batches
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+
+    tbl = generate_events(GenSpec(n_events=2_000, events_per_file=400))
+    log_dir = tempfile.mkdtemp(prefix="crashlog_")
+    write_event_log(tbl, log_dir)
+    path = str(tmp_path_factory.mktemp("crash")) + "/pages"
+    table = PagesTable.create(spark, path, num_buckets=8)
+    cfg = default_pages_config()
+
+    class Boom(RuntimeError):
+        pass
+
+    def interrupted():
+        for i, (seq, batch) in enumerate(iter_tx_gated_batches(spark, log_dir)):
+            if i == 3:
+                raise Boom()  # batches 0-1 committed, 2 still in flight
+            yield f"fileseq-{seq}", batch
+
+    with pytest.raises(Boom):
+        table.apply_batches_pipelined(interrupted(), cfg=cfg, depth=2)
+    n_before = table.n_committed()
+    assert n_before >= 1
+
+    res = replay(spark, log_dir, path, num_buckets=8)
+    skipped = [b for b in res["batches"] if b.get("skipped")]
+    assert len(skipped) >= 1  # the pre-crash commits were honored
+    oracle, _, _ = sequential_replay(tbl)
+    assert_state_equal(PagesTable(spark, path).read().collect(), oracle)
