@@ -109,7 +109,13 @@ def _child(*args: str) -> dict:
 
 
 def replay_at(cores: int, event_dir: str, warm_dir: str, depth: int = 1) -> dict:
-    return _child("replay", str(cores), event_dir, warm_dir, str(depth))
+    res = _child("replay", str(cores), event_dir, warm_dir, str(depth))
+    # window-quality evidence: 1-min load BEFORE this attempt started is
+    # captured by the parent right after the child exits (close enough at
+    # these run lengths) — lets a reader see which attempts hit a
+    # contended host window instead of guessing from variance alone
+    res["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    return res
 
 
 def sha2_ceiling(cores: int, n_rows: int = 20_000_000) -> dict:
@@ -364,6 +370,8 @@ def main() -> None:
                     # see BENCH/BASELINE.md)
                     "all_wall_sec_n": [r["wall_sec"] for r in lo_runs],
                     "all_wall_sec_4n": [r["wall_sec"] for r in hi_runs],
+                    "all_loadavg_n": [r.get("loadavg_1m") for r in lo_runs],
+                    "all_loadavg_4n": [r.get("loadavg_1m") for r in hi_runs],
                 },
                 "replay_multi_batch": {
                     "n_events": mb_hi["events"],
