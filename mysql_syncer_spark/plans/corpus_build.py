@@ -11,6 +11,9 @@ semantics and oracle live with its own module/tests):
   3b. span strip      optional dedup_text.strip_duplicated_spans over the
                       survivors (Lee-et-al exact substring dedup: shared
                       boilerplate runs cut from non-keepers)
+  3c. decontaminate   optional dedup_text.contaminated_docs against a
+                      benchmark set (GPT-3-style 13-gram overlap) —
+                      flagged docs are dropped before LM scoring
   4. LM scoring       text.unigram_nll over the SURVIVORS (the corpus-as-
                       LM should be fit on what you keep)
   5. quality buckets  mixture.quality_buckets_2pass per domain (map-only
@@ -34,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mysql_syncer_spark.functions.dedup_text import (
+    contaminated_docs,
     lsh_candidate_pairs,
     minhash_signatures,
     strip_duplicated_spans,
@@ -65,6 +69,8 @@ def build_training_corpus(
     bucket_rate_mult: dict[str, float] | None = None,
     near_dup_jaccard: float | None = 0.5,
     strip_span_width: int | None = None,
+    benchmark: DataFrame | None = None,
+    decontaminate_n: int = 13,
     holdout: float = 0.01,
     pack_budget: int = 2048,
     seed: str = "corpus1",
@@ -76,7 +82,11 @@ def build_training_corpus(
     — a 0 drops the bucket entirely. ``strip_span_width`` (e.g. 50) turns
     on exact duplicated-substring stripping over the dedup survivors:
     boilerplate runs shared across docs are CUT from every non-keeper
-    before LM scoring and packing, so both see the cleaned text."""
+    before LM scoring and packing, so both see the cleaned text.
+    ``benchmark`` (a DataFrame with a text column) turns on eval-set
+    decontamination: any doc sharing a ``decontaminate_n``-gram with the
+    benchmark is dropped entirely (broadcast semi-join — the corpus
+    never shuffles for this stage)."""
     feats = quality_features(F.col(text_col))
     scored = docs.select(
         id_col,
@@ -127,6 +137,14 @@ def build_training_corpus(
             .join(stripped, id_col)
             .localCheckpoint(eager=False)
         )
+
+    if benchmark is not None:
+        flagged = contaminated_docs(
+            kept, benchmark, n=decontaminate_n, id_col=id_col, text_col=text_col
+        )
+        kept = kept.join(
+            flagged.select(id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=False)
 
     nll = unigram_nll(kept, id_col, text_col)
     bucketed = quality_buckets_2pass(

@@ -95,3 +95,23 @@ def test_build_with_span_stripping(spark):
         docs, near_dup_jaccard=0.8, strip_span_width=40
     ).collect()}
     assert again == s
+
+
+def test_build_with_decontamination(spark):
+    docs = _docs(spark)
+    # benchmark = verbatim sections of a few corpus docs
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.expr("substring(text, 10, 200)").alias("text")
+    )
+    base = {r["doc_id"] for r in build_training_corpus(
+        docs, near_dup_jaccard=0.8
+    ).collect()}
+    clean = {r["doc_id"] for r in build_training_corpus(
+        docs, near_dup_jaccard=0.8, benchmark=bench
+    ).collect()}
+    assert clean < base  # something contaminated was dropped
+    # every dropped doc really shares a 13-gram with the benchmark
+    from mysql_syncer_spark.functions.dedup_text import contaminated_docs
+
+    flagged = {r["doc_id"] for r in contaminated_docs(docs, bench, n=13).collect()}
+    assert base - clean <= flagged
