@@ -152,3 +152,34 @@ def test_sync_view_follows_streaming_replay(spark, event_log_dir):
     r3 = sync_view(t, vpath, _dim, METRICS)
     assert r3["skipped"] is False and r3["from"] == r1["synced_to"]
     assert view_now() == want
+
+
+@pytest.mark.parametrize(
+    "spec_kw",
+    [
+        {"p_delete": 0.25, "seed": 101},          # delete-heavy
+        {"p_out_of_order": 0.5, "seed": 102},     # heavy warc_ts regressions
+        {"zipf_a": 2.0, "p_duplicate": 0.2, "seed": 103},  # hot keys + redelivery
+    ],
+)
+def test_ivm_equals_recompute_across_workload_shapes(spark, spec_kw):
+    """Retraction algebra holds for any workload shape the generator can
+    produce: delete storms, out-of-order timestamps, hot-key floods with
+    exact redelivery."""
+    import tempfile
+
+    from mysql_syncer_spark.generator import GenSpec, generate_events, write_event_log
+    from mysql_syncer_spark.plans.replay import replay
+
+    d = tempfile.mkdtemp(prefix="ivmgen_")
+    write_event_log(
+        generate_events(GenSpec(n_events=2_000, events_per_file=500, **spec_kw)), d
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="ivmgen_t_"), "pages")
+    replay(spark, d, path, num_buckets=8)
+    t = PagesTable(spark, path)
+    head = t.manifest().version
+    view = maintain_view(t, _dim, METRICS, 0, head, view=None)
+    assert _as_dict(view) == {
+        k: (n, float(s)) for k, (n, s) in _recompute(t, head).items()
+    }
