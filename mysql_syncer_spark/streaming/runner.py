@@ -54,9 +54,31 @@ def start_streaming_replay(
     else:
         table = PagesTable.create(spark, table_path, num_buckets=num_buckets)
 
+    # micro-batch skew planner: probe the first batch, carry the salting
+    # decision, re-probe on duplicate-share signal edges — the same
+    # amortization the batch paths use; one Spark job per steady micro-batch
+    planner = {"last_probe_share": None, "salted": False, "latest": None}
+
     def apply(batch_df, batch_id: int) -> None:
         # batchId is stable across checkpointed restarts → the ledger key.
-        table.apply_batch(f"stream-{batch_id}", batch_df, cfg)
+        if cfg.skew_probe != "auto" or planner["last_probe_share"] is None:
+            carry = None
+        elif (
+            planner["latest"] is not None
+            and abs(planner["latest"] - planner["last_probe_share"])
+            > cfg.salt_reprobe_delta
+        ):
+            carry = None
+        else:
+            carry = planner["salted"]
+        res = table.apply_batch(
+            f"stream-{batch_id}", batch_df, cfg, carry_salted=carry
+        )
+        if not res.get("skipped"):
+            if res.get("skew_probed"):
+                planner["last_probe_share"] = res.get("dup_share")
+                planner["salted"] = bool(res.get("salted_merge"))
+            planner["latest"] = res.get("dup_share")
 
     stream = stream_event_log(spark, event_dir, max_files_per_trigger)
     if transform is not None:
