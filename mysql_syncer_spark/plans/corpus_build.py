@@ -192,3 +192,75 @@ def build_training_corpus(
         )
         .join(packed, id_col)
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dup_jaccard: float | None = None,
+    span_width: int | None = None,
+) -> DataFrame:
+    """One-call corpus census: (metric, value) rows — the numbers a
+    corpus team reads BEFORE deciding build_training_corpus knobs.
+
+    Base pass (always): one partial-agg'd aggregate for doc/char/token
+    totals + exact-duplicate mass (distinct content fingerprints), plus
+    a tiny per-language count. Optional passes, each individually
+    scale-safe: verified near-dup census (LSH + exact-Jaccard verify)
+    and exact substring-span duplication (content-defined anchors).
+    Output values are doubles; counts are exact, fractions in [0, 1]."""
+    from mysql_syncer_spark.functions.dedup_text import (
+        duplicated_span_stats,
+        verified_near_duplicates,
+    )
+    from mysql_syncer_spark.functions.text import normalized_text, token_count
+
+    spark = docs.sparkSession
+    base = docs.select(
+        F.col(id_col),
+        F.length(normalized_text(F.col(text_col))).alias("_chars"),
+        token_count(F.col(text_col)).alias("_toks"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+        lang_id(F.col(text_col)).alias("_lang"),
+    ).localCheckpoint(eager=False)
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_chars").alias("total_chars"),
+        F.sum("_toks").alias("total_tokens"),
+        F.avg("_toks").alias("avg_tokens"),
+        F.countDistinct("_fp").alias("n_distinct"),
+    ).head()
+    n_docs = int(agg["n_docs"]) or 1
+    rows = [
+        ("n_docs", float(agg["n_docs"])),
+        ("total_chars", float(agg["total_chars"] or 0)),
+        ("total_tokens", float(agg["total_tokens"] or 0)),
+        ("avg_tokens", float(agg["avg_tokens"] or 0.0)),
+        ("exact_dup_docs", float(agg["n_docs"] - agg["n_distinct"])),
+        ("exact_dup_frac", (agg["n_docs"] - agg["n_distinct"]) / n_docs),
+    ]
+    for r in base.groupBy("_lang").count().collect():
+        rows.append((f"lang_{r['_lang']}", float(r["count"])))
+    if near_dup_jaccard is not None:
+        nd = (
+            verified_near_duplicates(
+                docs, id_col, text_col, threshold=near_dup_jaccard
+            )
+            .select("doc_b")
+            .distinct()
+            .count()
+        )
+        rows.append(("near_dup_docs", float(nd)))
+        rows.append(("near_dup_frac", nd / n_docs))
+    if span_width is not None:
+        sp = duplicated_span_stats(docs, id_col, text_col, width=span_width).agg(
+            F.sum("dup_chars").alias("d"), F.sum("doc_chars").alias("t")
+        ).head()
+        rows.append(("span_dup_chars", float(sp["d"] or 0)))
+        rows.append(
+            ("span_dup_char_frac", (sp["d"] or 0) / max(int(sp["t"] or 0), 1))
+        )
+    return spark.createDataFrame(
+        [(m, round(float(v), 9)) for m, v in rows], "metric string, value double"
+    )

@@ -115,3 +115,34 @@ def test_build_with_decontamination(spark):
 
     flagged = {r["doc_id"] for r in contaminated_docs(docs, bench, n=13).collect()}
     assert base - clean <= flagged
+
+
+def test_corpus_report_census(spark):
+    import duckdb
+
+    from mysql_syncer_spark.plans.corpus_build import corpus_report
+
+    docs = _docs(spark)
+    rep = {r["metric"]: r["value"] for r in corpus_report(
+        docs, near_dup_jaccard=0.8, span_width=40
+    ).collect()}
+    # DuckDB twin for the base census
+    want = duckdb.connect().execute(f"""
+        WITH t AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+          FROM read_parquet('{SF}/documents.parquet')
+        )
+        SELECT count(*), sum(length(txt)), count(DISTINCT fp) FROM t
+    """).fetchone()
+    assert rep["n_docs"] == float(want[0])
+    assert rep["total_chars"] == float(want[1])
+    assert rep["exact_dup_docs"] == float(want[0] - want[2])
+    assert 0 <= rep["exact_dup_frac"] <= 1
+    assert rep["avg_tokens"] > 0 and rep["total_tokens"] > 0
+    # lang mix sums to n_docs
+    assert sum(v for k, v in rep.items() if k.startswith("lang_")) == rep["n_docs"]
+    # optional passes present and sane
+    assert 0 <= rep["near_dup_frac"] <= 1 and rep["near_dup_docs"] > 0
+    assert 0 <= rep["span_dup_char_frac"] <= 1
