@@ -494,6 +494,37 @@ class PagesTable:
         )
         return live_view(merged)
 
+    def lookup_many(self, key_values: list) -> DataFrame:
+        """Batched point reads: hash every key LOCALLY, scan only the
+        union of touched buckets (k keys touch ≤ min(k, num_buckets)
+        buckets — at production bucket counts a 100-key batch reads a
+        handful of files), LWW-merge, filter to the key set. Same
+        local-hash canary guard as lookup()."""
+        from ..operators.dedup import lww_dedup  # local: avoid cycle
+        from ..xxhash import bucket_of, canary_hash
+
+        m = self.manifest()
+        stored = getattr(m, "xxh64_canary", None)
+        if stored is not None and int(stored) != canary_hash():
+            raise RuntimeError(
+                "local xxhash64 twin disagrees with the JVM canary stored "
+                "at table create — refusing to route point reads"
+            )
+        keys = list(dict.fromkeys(key_values))
+        if not keys:
+            fields = ", ".join(f"`{n}` {t}" for n, t in m.schema)
+            return self.spark.createDataFrame([], schema=fields)
+        buckets = sorted({bucket_of([k], m.num_buckets) for k in keys})
+        raw = self._read_buckets(m, [int(b) for b in buckets])
+        if raw is None:
+            fields = ", ".join(f"`{n}` {t}" for n, t in m.schema)
+            return self.spark.createDataFrame([], schema=fields)
+        raw = raw.filter(F.col(m.key_columns[0]).isin(*keys))
+        merged = lww_dedup(
+            raw, list(m.key_columns), ["_lww_ts_us", "_lww_file", "_lww_pos"]
+        )
+        return live_view(merged)
+
     # ------------------------------------------------------------------
     # write
     # ------------------------------------------------------------------

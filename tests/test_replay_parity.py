@@ -199,3 +199,16 @@ def test_pipelined_crash_mid_stream_then_resume(spark, tmp_path_factory):
     assert len(skipped) >= 1  # the pre-crash commits were honored
     oracle, _, _ = sequential_replay(tbl)
     assert_state_equal(PagesTable(spark, path).read().collect(), oracle)
+
+
+def test_lookup_many_matches_individual_lookups(spark, replayed, event_table):
+    path, _ = replayed
+    t = PagesTable(spark, path)
+    oracle, _, _ = sequential_replay(event_table)
+    keys = sorted(oracle)[:25] + ["https://nope.example.com/missing"]
+    batch = {r["url"]: r.asDict() for r in t.lookup_many(keys).collect()}
+    assert set(batch) == set(keys) - {"https://nope.example.com/missing"}
+    for k in list(batch)[:5]:
+        single = t.lookup(k).collect()
+        assert len(single) == 1 and single[0].asDict() == batch[k]
+    assert t.lookup_many([]).count() == 0
