@@ -1164,6 +1164,49 @@ def q_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bootstrap_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
+    """Dump-then-tail lifecycle, value-checked end to end: a snapshot of
+    the state at a mid-log offset is wrapped as bootstrap events into a
+    FRESH table, the binlog tail replays from the offset (pre-offset DDL
+    renames ride in via the wire_mapping handoff), and the result must
+    equal plain whole-log LWW — the same oracle as the flagship replay."""
+    from mysql_syncer_spark.plans.replay import bootstrap_then_replay, replay
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+
+    log_dir = _shared_event_log("replay", 2_000, 1_000)
+    first = spark.read.parquet(os.path.join(log_dir, "binlog-000000.parquet"))
+    pos = int(first.agg(F.max("log_pos")).head()[0])
+    offset = (0, pos)
+
+    snap_path = os.path.join(tempfile.mkdtemp(prefix="entry_bsnap_"), "pages")
+
+    def upto(df: DataFrame) -> DataFrame:
+        return df.filter(
+            (F.col("file_seq") < offset[0])
+            | ((F.col("file_seq") == offset[0]) & (F.col("log_pos") <= offset[1]))
+        )
+
+    replay(spark, log_dir, snap_path, num_buckets=8, event_filter=upto)
+    src = PagesTable(spark, snap_path)
+    sm = src.manifest()
+
+    table_path = os.path.join(tempfile.mkdtemp(prefix="entry_boot_"), "pages")
+    bootstrap_then_replay(
+        spark, src.read(), offset, log_dir, table_path, num_buckets=8,
+        wire_mapping=dict(sm.column_mapping),
+        renames=[list(r) for r in sm.renames],
+    )
+    out = PagesTable(spark, table_path).read()
+    return out.select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_ts_us"),
+        "text",
+        "lang",
+        "extra_v2",
+    )
+
+
 def q_stream_stateful_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
     """Custom stateful streaming operator (applyInPandasWithState): the
@@ -1511,7 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_checkpoint_ledger": q_checkpoint_ledger,
         "cdc_heartbeat_positions": q_heartbeat_positions,
         "cdc_before_after_pairing": q_before_after_pairing,
-        "cdc_resume_from_offset": q_resume_from_offset,
+        "cdc_bootstrap_cutover_state": q_bootstrap_cutover,
         "cdc_merge_into_base_join": q_merge_into_base_join,
         "cdc_engine_replay_final_state": q_engine_replay,
         "cdc_binary_row_decode": q_binary_row_decode,
@@ -1641,10 +1684,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             WHERE op = 'U'
         """,
-        "cdc_resume_from_offset": """
-            SELECT count(*) AS n_after, min(event_id) AS min_id,
-                   max(event_id) AS max_id
-            FROM events WHERE event_id > 5000
+        # bootstrap+cutover must land on the SAME final state as a plain
+        # whole-log LWW fold — identical oracle to the flagship replay
+        "cdc_bootstrap_cutover_state": f"""
+            WITH ev AS (
+                SELECT after.url AS url, after.warc_ts AS warc_ts,
+                       after.html AS html, after.lang AS lang,
+                       after.extra AS extra, op, file_seq, log_pos
+                FROM read_parquet('{_shared_event_log("replay", 2_000, 1_000)}/binlog-*.parquet')
+                WHERE op IN ('I','U','D')),
+            w AS (SELECT *,
+                         row_number() OVER (PARTITION BY url
+                                            ORDER BY warc_ts DESC, file_seq DESC,
+                                                     log_pos DESC) AS rn
+                  FROM ev)
+            SELECT url, epoch_us(warc_ts) AS warc_ts_us,
+                   {_EXTRACT_SQL} AS text,
+                   lang, extra AS extra_v2
+            FROM w WHERE rn = 1 AND op <> 'D'
         """,
         "cdc_merge_into_base_join": f"""
             WITH win AS (
