@@ -239,3 +239,20 @@ def test_rebucket_online_layout_change(spark, event_log_dir, event_table):
 
     with _pytest.raises(ValueError):
         t.rebucket(0)
+
+
+def test_expiry_vs_tags_interplay(spark, event_log_dir, tmp_table_path):
+    """An expired tagged version fails loudly on read_tag (operators keep
+    tags inside the retention window by contract); tags inside the
+    window keep working after expiry."""
+    import pytest as _pytest
+
+    replay(spark, event_log_dir, tmp_table_path, num_buckets=8)
+    t = PagesTable(spark, tmp_table_path)
+    head = t.manifest().version
+    t.tag("head", version=head)
+    t.tag("ancient", version=1)
+    t.expire_snapshots(keep_last=1)  # only the head survives
+    assert t.read_tag("head").count() > 0
+    with _pytest.raises(FileNotFoundError):
+        t.read_tag("ancient")
