@@ -186,3 +186,46 @@ def test_planted_duplicates_randomized(spark):
     assert stats[keeper]["n_dup_spans"] == 0
     for i in set(range(30)) - has_plant:
         assert stats[i]["n_dup_spans"] == 0, i
+
+
+def test_strip_spans_duckdb_parity(spark, sf_dir):
+    """Byte-level parity for the JVM-fold strip: DuckDB rebuilds each
+    doc's stripped text as the ordered concatenation of the segments
+    between removable intervals (lag-window segmentation), and the md5
+    of every doc's stripped text must match Spark's."""
+    width, k, p = 40, 8, 8
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicated_spans(
+            docs, width=width, anchor_k=k, anchor_mod=p
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW docs AS SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    spans_cte = _oracle_stats_sql(width, k, p).split("per_doc AS")[0]
+    rows = con.execute(spans_cte + """
+segs AS (
+  SELECT doc_id, s, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS seg_start,
+         max(e) OVER (PARTITION BY doc_id) AS last_e
+  FROM spans
+),
+rebuilt AS (
+  SELECT g.doc_id,
+         string_agg(substr(b.txt, g.seg_start + 1, g.s - g.seg_start), ''
+                    ORDER BY g.s)
+           || substr(b.txt, max(g.last_e) + 1) AS stripped
+  FROM segs g JOIN base b USING (doc_id)
+  GROUP BY g.doc_id, b.txt
+)
+SELECT b.doc_id, coalesce(r.stripped, b.txt) AS stripped
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+""").fetchall()
+    want = {row[0]: row[1] for row in rows}
+    assert set(got) == set(want)
+    mismatches = [i for i in got if got[i] != want[i]]
+    assert mismatches == [], mismatches[:5]
