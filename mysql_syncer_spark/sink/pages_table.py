@@ -1235,6 +1235,33 @@ class PagesTable:
                 if cur == old:
                     m.column_mapping[wire] = new
             m.renames.append([old, new])
+        elif kind == "widen_column":
+            # MySQL `ALTER ... MODIFY col BIGINT` analog: lossless type
+            # widening only. No data rewrite — the manifest dtype changes
+            # and the explicit-schema parquet read upcasts old vintages
+            # in the scan (Spark 4 vectorized reader: INT32→INT64/DOUBLE,
+            # FLOAT→DOUBLE); new deltas write the wide type directly.
+            col, dtype = d["col"], d.get("dtype")
+            if dtype not in DDL_DTYPES:
+                raise ValueError(f"unsupported DDL dtype {dtype}")
+            target = DDL_DTYPES[dtype].simpleString()
+            allowed = {
+                ("int", "bigint"),
+                ("int", "double"),
+                ("bigint", "double"),
+                ("float", "double"),
+            }
+            for entry in m.schema:
+                if entry[0] == col:
+                    if entry[1] == target:
+                        return  # already widened — idempotent
+                    if (entry[1], target) not in allowed:
+                        raise ValueError(
+                            f"cannot widen {col!r} {entry[1]} -> {target}"
+                        )
+                    entry[1] = target
+                    return
+            return  # unknown column — idempotent skip (already dropped?)
         elif kind == "drop_column":
             col = d["col"]
             if col in m.key_columns:

@@ -96,6 +96,8 @@ def ddl_to_query(ddl: dict) -> str:
         )
     if ddl["kind"] == "drop_column":
         return f"ALTER TABLE pages DROP COLUMN `{ddl['col']}`"
+    if ddl["kind"] == "widen_column":
+        return f"ALTER TABLE pages MODIFY COLUMN `{ddl['col']}` {ddl['dtype']}"
     raise ValueError(ddl["kind"])
 
 
@@ -106,6 +108,9 @@ _RENAME_RE = re.compile(
     r"ALTER TABLE \S+ RENAME COLUMN `?(\w+)`? TO `?(\w+)`?", re.IGNORECASE
 )
 _DROP_RE = re.compile(r"ALTER TABLE \S+ DROP COLUMN `?(\w+)`?", re.IGNORECASE)
+_MODIFY_RE = re.compile(
+    r"ALTER TABLE \S+ MODIFY COLUMN `?(\w+)`? (\w+)", re.IGNORECASE
+)
 
 
 def parse_ddl_query(sql: str) -> dict:
@@ -122,6 +127,10 @@ def parse_ddl_query(sql: str) -> dict:
     if m:
         return {"kind": "drop_column", "col": m.group(1), "new_name": None,
                 "dtype": None}
+    m = _MODIFY_RE.match(sql)
+    if m:
+        return {"kind": "widen_column", "col": m.group(1), "new_name": None,
+                "dtype": m.group(2)}
     raise ValueError(f"unsupported DDL: {sql!r}")
 
 
