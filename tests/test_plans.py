@@ -89,7 +89,11 @@ def test_sf1_evidence_aggregation_is_median_based():
     agg = bench._sf1_aggregate(atts, 1, 4)
     mb = agg["multi_batch_40_files"]
     assert mb["wall_sec_n"] == 310.0 and mb["wall_sec_4n"] == 90.0
-    assert mb["speedup_n_to_4n"] == round(310.0 / 90.0, 3)
+    # headline = median of per-attempt PAIRED ratios (host-speed invariant):
+    # median(300/80, 310/100, 320/90) = 320/90
+    assert mb["speedup_n_to_4n"] == round(320.0 / 90.0, 3)
+    # the unpaired level-median ratio is reported alongside
+    assert mb["speedup_unpaired_level_medians"] == round(310.0 / 90.0, 3)
     # per-batch overhead pairs quantities from the SAME attempt window
     assert agg["per_batch_overhead_trendline_4n"]["batches_20"] == 2.5
     assert len(agg["attempts"]) == 3
