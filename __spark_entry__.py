@@ -1193,7 +1193,7 @@ def q_bootstrap_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table_path = os.path.join(tempfile.mkdtemp(prefix="entry_boot_"), "pages")
     bootstrap_then_replay(
-        spark, src.read(), offset, log_dir, table_path, num_buckets=8,
+        spark, src.state(), offset, log_dir, table_path, num_buckets=8,
         wire_mapping=dict(sm.column_mapping),
         renames=[list(r) for r in sm.renames],
     )

@@ -213,8 +213,17 @@ def replay(
     if have_index:
         # (a 1-file log gains nothing from the upfront scan — the
         # per-batch collect is the same single job)
+        # the upfront scan must apply the SAME F1/F3 filters apply_batch
+        # would have run per-batch (table ownership + oversized-DDL cap):
+        # pre-supplied ddls bypass apply_batch's own filtering, and in a
+        # multi-table log an unfiltered index would apply every OTHER
+        # table's DDL to this target (schema corruption).
+        from ..operators.filters import oversized_ddl_filter, table_filter
+
         ddl_rows = (
-            read_event_log(spark, event_dir)
+            oversized_ddl_filter(
+                table_filter(read_event_log(spark, event_dir), [cfg.name])
+            )
             .filter(F.col("op") == "DDL")
             .select("ddl.*", "file_seq", "log_pos")
             .orderBy("file_seq", "log_pos")
@@ -352,31 +361,74 @@ def snapshot_events(
     offset: tuple[int, int],
     table_name: str = "web.pages",
 ) -> DataFrame:
-    """Wrap a consistent table snapshot as INSERT change events ranked AT
-    the snapshot offset — the bootstrap half of the dump-then-tail
+    """Wrap a consistent table snapshot as change events ranked at (or
+    before) the snapshot offset — the bootstrap half of the dump-then-tail
     lifecycle (the reference slave's "request dump from saved (file, pos)"
     handshake, /root/reference/src/slave — SURVEY §3.2; Debezium-style
     initial snapshot → streaming cutover).
 
-    Rank equivalence argument: the LWW order is (warc_ts, file_seq,
-    log_pos). Snapshot rows keep their own warc_ts (data), and take the
-    offset as their (file, pos). Any post-offset event compares against a
-    snapshot row exactly as it would have compared against the original
-    pre-offset event in a full replay: the warc_ts leg is identical, and
-    on a warc_ts tie the post-offset event's position exceeds the offset
-    just as it exceeded the original position. Map-only — no shuffle."""
+    Two accepted snapshot shapes:
+
+    * **Raw state** (``PagesTable.state()`` — payload + hidden LWW cols,
+      INCLUDING tombstones): the production shape. Every row keeps its
+      ORIGINAL rank (``_lww_ts_us``, ``_lww_file``, ``_lww_pos``) and
+      tombstones cross the bootstrap as ``op='D'`` events, so a
+      pre-offset DELETE whose warc_ts exceeds every post-offset event
+      for its key still wins in the new table — exactly as in a full
+      replay. Any post-offset event compares against a wrapped row with
+      the SAME (warc_ts, file, pos) triple the original event carried,
+      so the merge outcome is identical to whole-log LWW by
+      construction.
+
+    * **Live view** (``read()`` — user columns, no tombstones): rows
+      become ``op='I'`` ranked AT the offset. Rank equivalence holds for
+      surviving rows (the warc_ts leg is the row's own; on a tie the
+      post-offset position exceeds the offset just as it exceeded the
+      original position) — but deleted keys are simply ABSENT, so this
+      shape silently loses out-of-order deletes: a post-offset event
+      older than a pre-offset DELETE resurrects the key. Only safe when
+      the log has no out-of-order deletes; prefer ``state()``.
+
+    Map-only — no shuffle either way."""
+    from ..operators.merge import HIDDEN_COLS
+
     fs, pos = offset
+    hidden = [c for c in HIDDEN_COLS if c in snapshot.columns]
+    if hidden and set(hidden) != set(HIDDEN_COLS):
+        raise ValueError(
+            f"partial hidden-column snapshot (has {hidden}); pass "
+            "PagesTable.state() (all hidden cols) or read() (none)"
+        )
+    payload = [c for c in snapshot.columns if c not in HIDDEN_COLS]
+    dtypes = dict(snapshot.dtypes)
+    if hidden:
+        op = F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("I"))
+        log_pos = F.col("_lww_pos").cast("long")
+        file_seq = F.col("_lww_file").cast("int")
+        # the LWW ts IS the rank — restate it as the event's warc_ts so
+        # batch_to_state re-derives the identical _lww_ts_us
+        after_fields = [
+            F.timestamp_micros(F.col("_lww_ts_us")).alias(c)
+            if c == "warc_ts"
+            else F.col(c)
+            for c in payload
+        ]
+    else:
+        op = F.lit("I")
+        log_pos = F.lit(pos).cast("long")
+        file_seq = F.lit(fs).cast("int")
+        after_fields = [F.col(c) for c in payload]
     ev_cols = [
-        F.lit(pos).cast("long").alias("log_pos"),
-        F.lit(fs).cast("int").alias("file_seq"),
+        log_pos.alias("log_pos"),
+        file_seq.alias("file_seq"),
         F.lit(None).cast("int").alias("server_id"),
-        F.lit("I").alias("op"),
+        op.alias("op"),
         F.lit(table_name).alias("table"),
         F.lit(None).cast("long").alias("tx_id"),
     ]
-    after = F.struct(*[F.col(c) for c in snapshot.columns]).alias("after")
+    after = F.struct(*after_fields).alias("after")
     before = F.lit(None).cast(
-        "struct<" + ", ".join(f"{c}: {t}" for c, t in snapshot.dtypes) + ">"
+        "struct<" + ", ".join(f"{c}: {dtypes[c]}" for c in payload) + ">"
     ).alias("before")
     ddl = F.lit(None).cast(
         "struct<kind: string, col: string, new_name: string, dtype: string>"
@@ -401,6 +453,11 @@ def bootstrap_then_replay(
     full from-scratch replay (tests/test_bootstrap.py proves it at file
     and mid-file offsets).
 
+    Pass the source's RAW state (``PagesTable.state()`` — includes
+    tombstones + LWW ranks) so pre-offset DELETEs survive the handoff;
+    a live-view snapshot (``read()``) also works but silently loses
+    out-of-order deletes — see ``snapshot_events``.
+
     The offset must sit on a transaction boundary — the same rule the
     reference enforces by emitting checkpoint positions only outside
     transactions (rs_parse_binlog.c:428 gate). The table is created with
@@ -423,11 +480,13 @@ def bootstrap_then_replay(
     pre-offset files by name without scanning them, and trims the
     straddling file with a (file_seq, log_pos) predicate that parquet
     row-group stats serve cheaply."""
+    from ..operators.merge import HIDDEN_COLS
+
     cfg = cfg or default_pages_config()
     fs, pos = offset
     if PagesTable.exists(table_path):
         raise ValueError("bootstrap requires a fresh table path")
-    schema = [[c, t] for c, t in snapshot.dtypes]
+    schema = [[c, t] for c, t in snapshot.dtypes if c not in HIDDEN_COLS]
     table = PagesTable.create(spark, table_path, num_buckets=num_buckets, schema=schema)
     boot = table.apply_batch(
         batch_id=f"bootstrap-{fs}-{pos}",

@@ -28,8 +28,10 @@ def full_state(spark, log_dir):
     return {r["url"]: r.asDict() for r in PagesTable(spark, path).read().collect()}
 
 
-def _state_at_offset(spark, log_dir, offset):
-    """Reference snapshot: replay only events at or before the offset."""
+def _state_at_offset(spark, log_dir, offset, raw=True):
+    """Reference snapshot: replay only events at or before the offset.
+    ``raw=True`` hands over the full state incl. tombstones (the
+    production shape); ``raw=False`` is the lossy live-view handoff."""
     fs, pos = offset
     path = os.path.join(tempfile.mkdtemp(prefix="bootsnap_"), "pages")
 
@@ -42,7 +44,8 @@ def _state_at_offset(spark, log_dir, offset):
     replay(spark, log_dir, path, num_buckets=8, event_filter=upto)
     t = PagesTable(spark, path)
     m = t.manifest()
-    return t.read(), dict(m.column_mapping), [list(r) for r in m.renames]
+    snap = t.state() if raw else t.read()
+    return snap, dict(m.column_mapping), [list(r) for r in m.renames]
 
 
 def _assert_equals_full(spark, snap3, offset, log_dir, full_state):
@@ -84,6 +87,46 @@ def test_bootstrap_mid_file_txn_boundary(spark, log_dir, full_state):
     offset = (3, int(cut_tx["mx"]))
     snapshot = _state_at_offset(spark, log_dir, offset)
     _assert_equals_full(spark, snapshot, offset, log_dir, full_state)
+
+
+def test_bootstrap_preserves_out_of_order_deletes(spark):
+    """A pre-offset DELETE whose warc_ts outranks every post-offset event
+    for its key must survive the handoff (seed 41 @ the file-2 boundary
+    hits this): the raw-state snapshot carries it as a tombstone event,
+    while a live-view handoff demonstrably resurrects the key."""
+    d = tempfile.mkdtemp(prefix="bootlog41_")
+    write_event_log(
+        generate_events(GenSpec(n_events=4_000, events_per_file=800, seed=41)), d
+    )
+    full_path = os.path.join(tempfile.mkdtemp(prefix="bootfull41_"), "pages")
+    replay(spark, d, full_path, num_buckets=8)
+    full = {
+        r["url"]: r.asDict() for r in PagesTable(spark, full_path).read().collect()
+    }
+    ev2 = spark.read.parquet(os.path.join(d, "binlog-000002.parquet"))
+    offset = (2, int(ev2.agg(F.max("log_pos")).head()[0]))
+
+    raw3 = _state_at_offset(spark, d, offset, raw=True)
+    path = os.path.join(tempfile.mkdtemp(prefix="bootcut41_"), "pages")
+    bootstrap_then_replay(
+        spark, raw3[0], offset, d, path, num_buckets=8,
+        wire_mapping=raw3[1], renames=raw3[2],
+    )
+    got = {r["url"]: r.asDict() for r in PagesTable(spark, path).read().collect()}
+    assert set(got) == set(full)
+    for url, row in full.items():
+        assert got[url] == row, (url, got[url], row)
+
+    # the lossy live-view handoff resurrects at least one deleted key on
+    # this fixture — proving the test actually exercises the failure mode
+    live3 = _state_at_offset(spark, d, offset, raw=False)
+    lpath = os.path.join(tempfile.mkdtemp(prefix="bootlive41_"), "pages")
+    bootstrap_then_replay(
+        spark, live3[0], offset, d, lpath, num_buckets=8,
+        wire_mapping=live3[1], renames=live3[2],
+    )
+    lgot = {r["url"] for r in PagesTable(spark, lpath).read().collect()}
+    assert lgot - set(full), "fixture no longer exercises out-of-order deletes"
 
 
 def test_bootstrap_refuses_existing_table(spark, log_dir):

@@ -47,3 +47,49 @@ def test_two_tables_routed_one_skipped(spark, tmp_path):
     assert_state_equal(tb.read().collect(), oracle_b)
     # unregistered table left no target
     assert not os.path.exists(os.path.join(base, "web_unregistered"))
+
+
+def test_multi_table_ddl_isolated_per_target(spark, tmp_path):
+    """The upfront ddl_index must apply F1 (table ownership) and F3
+    (oversized cap): pages' DDL must not leak into assets' schema, and an
+    oversized DDL is dropped on BOTH the indexed and per-batch paths."""
+    import pyspark.sql.functions as F
+
+    huge = "z" * 3000  # > oversized_ddl_filter's 2048 cap
+    a = generate_events(
+        GenSpec(
+            n_events=1200,
+            seed=7,
+            ddl_scenario=(
+                (0.40, "add_column", "extra", None, "string"),
+                (0.60, "add_column", huge, None, "string"),
+            ),
+            events_per_file=400,
+        )
+    )
+    b = _retable(
+        generate_events(GenSpec(n_events=800, seed=8, ddl_scenario=(), events_per_file=400)),
+        "web.assets",
+    )
+    mixed = pa.concat_tables([a, b])
+    from mysql_syncer_spark.generator import write_event_log
+
+    d = str(tmp_path / "log")
+    write_event_log(mixed, d)
+
+    registry = {
+        "web.pages": TableConfig(name="web.pages"),
+        "web.assets": TableConfig(name="web.assets"),
+    }
+    base = str(tmp_path / "tables")
+    replay_multi(spark, d, base, registry, num_buckets=4)
+
+    pages_cols = {c for c, _ in PagesTable(spark, os.path.join(base, "web_pages")).manifest().schema}
+    assets_cols = {c for c, _ in PagesTable(spark, os.path.join(base, "web_assets")).manifest().schema}
+    assert "extra" in pages_cols
+    assert "extra" not in assets_cols, "foreign table's DDL leaked into assets"
+    assert huge not in pages_cols, "oversized DDL not dropped by the index scan"
+    # assets' data is untouched by pages' DDL
+    oracle_b, _, _ = sequential_replay(b, extract_text=False)
+    tb = PagesTable(spark, os.path.join(base, "web_assets"))
+    assert_state_equal(tb.read().collect(), oracle_b)
