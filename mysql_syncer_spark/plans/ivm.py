@@ -82,7 +82,10 @@ def merge_view(view: DataFrame | None, delta: DataFrame) -> DataFrame:
         F.col("_dim").alias("_ddim"),
         *[F.col(c).alias(f"_d_{c}") for c in metric_cols],
     )
-    merged = view.join(d, view["_dim"] == d["_ddim"], "full_outer")
+    # eqNullSafe: a nullable dim (NULL lang etc.) must fold into ONE
+    # group — plain equality never matches NULL, which would accumulate a
+    # fresh never-merging NULL-dim row from each side on every sync
+    merged = view.join(d, view["_dim"].eqNullSafe(d["_ddim"]), "full_outer")
     out = merged.select(
         F.coalesce(view["_dim"], d["_ddim"]).alias("_dim"),
         *[

@@ -685,7 +685,14 @@ class PagesTable:
                 # commit_ts_ms - watermark/1000 IS the replication lag a
                 # monitoring stack alerts on (D5), and commit_ts_ms gives
                 # wall-clock time travel (read_as_of)
-                "max_event_ts_us": int(delta.get("max_event_ts_us", 0) or 0),
+                # carried FORWARD across commits: a fully-filtered
+                # (heartbeat/empty) batch contributes 0 and must not
+                # knock out the gauge exactly when heartbeats are meant
+                # to keep it alive
+                "max_event_ts_us": max(
+                    int(delta.get("max_event_ts_us", 0) or 0),
+                    int((m.metrics or {}).get("max_event_ts_us", 0) or 0),
+                ),
                 "commit_ts_ms": int(time.time() * 1000),
                 "salted_merge": bool(delta["use_salted"]),
                 "max_key_rows": delta["max_key_rows"],
@@ -1303,34 +1310,74 @@ class PagesTable:
     # ------------------------------------------------------------------
     # maintenance (Iceberg expire_snapshots / remove_orphan_files parity)
     # ------------------------------------------------------------------
-    def vacuum(self) -> dict:
+    def vacuum(self, grace_sec: float = 600.0) -> dict:
         """Delete data dirs not referenced by the CURRENT manifest (old
         bucket versions + orphans from crashed attempts). Safe because
         commits are copy-on-write: the current snapshot never references a
         dir this removes. Readers of OLD snapshots lose time travel — for
-        a retention window use ``expire_snapshots(keep_last=N)``."""
+        a retention window use ``expire_snapshots(keep_last=N)``.
+
+        ``grace_sec`` protects a CONCURRENT writer: its written-but-not-
+        yet-committed delta dirs appear in no version file, so they look
+        exactly like crash orphans — unknown dirs younger than the grace
+        window are skipped and reported, never deleted."""
         m = self.manifest()
         referenced = {
             d.split(os.sep)[1] for lst in m.buckets.values() for d in lst
         }
-        return self._gc_data_dirs(referenced)
+        return self._gc_data_dirs(referenced, self._known_dirs(), grace_sec)
 
-    def _gc_data_dirs(self, referenced: set) -> dict:
+    def _known_dirs(self) -> set:
+        """Data dirs referenced by ANY version file currently on disk —
+        the committed universe. A dir outside it is either a crashed
+        attempt or an in-flight uncommitted write."""
+        vdir = os.path.join(self.path, "_versions")
+        known: set = set()
+        for fn in os.listdir(vdir):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(vdir, fn)) as f:
+                mj = json.load(f)
+            for lst in (mj.get("buckets") or {}).values():
+                known |= {d.split(os.sep)[1] for d in lst}
+        return known
+
+    def _gc_data_dirs(
+        self, referenced: set, known: set, grace_sec: float
+    ) -> dict:
+        """Remove unreferenced data dirs. Superseded dirs (in ``known``
+        but not ``referenced``) go at any age; UNKNOWN dirs (no version
+        file ever referenced them) are held for ``grace_sec`` so an
+        in-flight writer's uncommitted deltas survive a concurrent
+        vacuum/expire — after the grace they are crash orphans."""
         import shutil
 
         data_root = os.path.join(self.path, "data")
-        removed, freed = [], 0
+        now = time.time()
+        removed, skipped, freed = [], [], 0
         for entry in os.listdir(data_root):
             if entry in referenced:
                 continue
             p = os.path.join(data_root, entry)
+            if entry not in known:
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue  # vanished concurrently
+                if age < grace_sec:
+                    skipped.append(entry)
+                    continue
             for root, _, files in os.walk(p):
                 freed += sum(os.path.getsize(os.path.join(root, f)) for f in files)
             shutil.rmtree(p, ignore_errors=True)
             removed.append(entry)
-        return {"removed_dirs": removed, "freed_bytes": freed}
+        return {
+            "removed_dirs": removed,
+            "freed_bytes": freed,
+            "skipped_in_flight": skipped,
+        }
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(self, keep_last: int = 2, grace_sec: float = 600.0) -> dict:
         """Iceberg ``expire_snapshots`` parity: drop manifest versions
         older than the newest ``keep_last``, then GC data dirs that no
         RETAINED version references. Time travel keeps working across the
@@ -1338,8 +1385,10 @@ class PagesTable:
         the version directory stays O(keep_last) instead of O(commits).
 
         Safe under the commit protocol: version files are immutable once
-        claimed, the head is always retained, and a concurrent committer
-        only ever CREATES a higher version than the head read here."""
+        claimed, the head is always retained, a concurrent committer only
+        ever CREATES a higher version than the head read here, and its
+        uncommitted data dirs (referenced by no version file) are held
+        for ``grace_sec`` before GC treats them as crash orphans."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vdir = os.path.join(self.path, "_versions")
@@ -1349,6 +1398,10 @@ class PagesTable:
             if f.startswith("v") and f.endswith(".json")
         )
         retained = versions[-keep_last:]
+        # the committed universe BEFORE expiry: dirs referenced only by
+        # to-be-expired versions stay "known" (removable at any age),
+        # while an in-flight writer's dirs stay unknown (grace-held)
+        known = self._known_dirs()
         referenced: set = set()
         for v in retained:
             mv = self.manifest(version=v)
@@ -1359,7 +1412,7 @@ class PagesTable:
         for v in versions[:-keep_last] if len(versions) > keep_last else []:
             os.remove(os.path.join(vdir, f"v{v:08d}.json"))
             expired.append(v)
-        gc = self._gc_data_dirs(referenced)
+        gc = self._gc_data_dirs(referenced, known, grace_sec)
         return {
             "expired_versions": expired,
             "retained_versions": retained,

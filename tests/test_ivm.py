@@ -154,6 +154,42 @@ def test_sync_view_follows_streaming_replay(spark, event_log_dir):
     assert view_now() == want
 
 
+def test_stepwise_null_dim_folds_into_one_group(spark, replayed):
+    """A nullable dim (lang ships as NULL) must fold into ONE group per
+    sync: plain equality in merge_view never matches NULL, which would
+    leak a fresh NULL-dim row from each side on every step."""
+    t = replayed
+    dim = lambda get: get("lang")
+    versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(os.path.join(t.path, "_versions"))
+        if f.startswith("v") and f.endswith(".json")
+    )
+    view = None
+    prev = versions[0]
+    for v in versions[1:]:
+        view = maintain_view(t, dim, METRICS, prev, v, view=view)
+        view = view.localCheckpoint(eager=True)
+        prev = v
+    rows = view.collect()
+    dims = [r["_dim"] for r in rows]
+    assert len(dims) == len(set(dims)), f"duplicate dim rows: {dims}"
+    assert None in dims  # the generator ships NULL lang → one NULL group
+    want = {
+        r["_dim"]: (r["n"], r["tc"])
+        for r in t.read(version=versions[-1])
+        .groupBy(F.col("lang").alias("_dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.length("text"), F.lit(0)).cast("double")).alias("tc"),
+        )
+        .collect()
+    }
+    assert {r["_dim"]: (int(r["n_rows"]), float(r["total_chars"])) for r in rows} == {
+        k: (n, float(s)) for k, (n, s) in want.items()
+    }
+
+
 @pytest.mark.parametrize(
     "spec_kw",
     [

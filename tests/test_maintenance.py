@@ -256,3 +256,33 @@ def test_expiry_vs_tags_interplay(spark, event_log_dir, tmp_table_path):
     assert t.read_tag("head").count() > 0
     with _pytest.raises(FileNotFoundError):
         t.read_tag("ancient")
+
+
+def test_gc_grace_window_protects_in_flight_writes(
+    spark, event_log_dir, tmp_table_path
+):
+    """An in-flight writer's uncommitted delta dir (referenced by no
+    version file) must survive vacuum/expire until the grace window
+    passes; superseded dirs are still removed immediately."""
+    replay(spark, event_log_dir, tmp_table_path, num_buckets=8)
+    t = PagesTable(spark, tmp_table_path)
+    t.compact()
+    data_root = os.path.join(tmp_table_path, "data")
+    # simulate a concurrent writer mid-flight: fresh dir, no commit yet
+    inflight = os.path.join(data_root, "delta-inflight-test")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "wb") as f:
+        f.write(b"x" * 128)
+
+    res = t.vacuum()  # default grace: the young unknown dir is held
+    assert "delta-inflight-test" in res["skipped_in_flight"]
+    assert os.path.isdir(inflight)
+    assert "delta-inflight-test" not in res["removed_dirs"]
+
+    res2 = t.expire_snapshots(keep_last=1)  # same protection on expiry
+    assert "delta-inflight-test" in res2["skipped_in_flight"]
+    assert os.path.isdir(inflight)
+
+    res3 = t.vacuum(grace_sec=0.0)  # grace elapsed → crash orphan, GC'd
+    assert "delta-inflight-test" in res3["removed_dirs"]
+    assert not os.path.exists(inflight)

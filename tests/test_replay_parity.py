@@ -82,10 +82,16 @@ def test_heartbeat_empty_batch_advances(spark, replayed, event_log_dir):
     t = PagesTable(spark, path)
     ev = read_event_log(spark, event_log_dir)
     v0 = t.manifest().version
+    wm_before = int((t.manifest().metrics or {}).get("max_event_ts_us", 0))
+    assert wm_before > 0  # data commits stamped the event-time high-water
     res = t.apply_batch("hb-1", ev.filter(F.col("table") == "no.such"), None)
     assert res["events_in"] == 0 and res["buckets_touched"] == 0
     assert t.manifest().version == v0 + 1
     assert "hb-1" in t.manifest().committed_batches
+    # the event-time high-water carries FORWARD across the empty commit —
+    # the lag gauge must stay alive exactly when heartbeats keep it fresh
+    assert int(t.manifest().metrics["max_event_ts_us"]) == wm_before
+    assert t.replication_lag_ms() is not None
 
 
 def test_reapply_committed_batch_is_noop(spark, replayed, event_log_dir):
