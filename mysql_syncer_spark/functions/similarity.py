@@ -188,6 +188,11 @@ def lsh_cosine_pairs(
     banded = with_lsh_bands(df, dim, n_planes, n_bands, seed, vec_col).select(
         id_col, "band", "key"
     )
+    # pin the banded keys before the self-join: without this the
+    # hyperplane UDF re-evaluates once per join side (ReuseExchange MAY
+    # rescue the plan, but that is luck, not a guarantee) — mirrors the
+    # MinHash twin in dedup_text.lsh_candidate_pairs
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

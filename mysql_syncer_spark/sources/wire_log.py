@@ -441,7 +441,9 @@ def encode_wire_changelog(
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs, ops = [], []
-            for _, r in pdf.iterrows():
+            # to_dict("records") materializes plain dicts once per batch —
+            # far cheaper than iterrows' per-row Series construction
+            for r in pdf.to_dict("records"):
                 op = r[op_col]
                 full = to_wire(r)
                 key_only = {key_col: r[key_col]}

@@ -133,3 +133,18 @@ def test_span_fingerprints_plan_no_python_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
     assert "Generate" in plan  # the post-selection explode
+
+
+def test_lsh_cosine_pairs_bands_evaluated_once(spark, sf_dir):
+    """The hyperplane-keys UDF must be pinned (localCheckpoint) before the
+    band self-join: the executed plan shows NO Python/Arrow stage — both
+    join sides scan the one materialized keys RDD instead of re-running
+    the UDF per side (checkpointed branches hide their subtree, so a
+    visible ArrowEval would mean an unpinned second evaluation)."""
+    from mysql_syncer_spark.functions.similarity import lsh_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    dim = len(emb.select("embedding").head()[0])
+    plan = _plan(lsh_cosine_pairs(emb, dim=dim))
+    assert "ArrowEval" not in plan and "PythonUDF" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
