@@ -329,7 +329,11 @@ def repair_bucket(
         tmp = PagesTable(spark, scratch)
         tmp.compact([bucket_id])
         tm = tmp.manifest()
-        if tm.schema != m.schema or tm.column_mapping != m.column_mapping:
+        if (
+            tm.schema != m.schema
+            or tm.column_mapping != m.column_mapping
+            or (tm.physical or {}) != (m.physical or {})
+        ):
             raise RuntimeError(
                 "rebuilt schema diverges from live manifest — the event log "
                 f"does not match this table ({tm.schema} vs {m.schema})"

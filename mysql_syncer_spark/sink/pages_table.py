@@ -100,12 +100,22 @@ class Manifest:
     # JVM xxhash64 of xxhash.CANARY_KEY, captured at create: lookups verify
     # the local hash twin against it before routing reads by a local bucket
     xxh64_canary: int | None = None
+    # field-id-style drop/re-add safety (Iceberg uses numeric field ids;
+    # we use a per-name generation): dropped_gens counts drops per column
+    # name, physical maps a re-added logical name to its generation-
+    # suffixed on-disk name so pre-drop file vintages can never resurrect
+    physical: dict = None  # type: ignore[assignment]  # logical -> on-disk
+    dropped_gens: dict = None  # type: ignore[assignment]  # name -> n drops
 
     def __post_init__(self) -> None:
         if self.ledger_watermarks is None:
             self.ledger_watermarks = {}
         if self.key_columns is None:
             self.key_columns = ["url"]
+        if self.physical is None:
+            self.physical = {}
+        if self.dropped_gens is None:
+            self.dropped_gens = {}
         # round-1 manifests stored one dir per bucket
         self.buckets = {
             b: (d if isinstance(d, list) else [d]) for b, d in self.buckets.items()
@@ -209,16 +219,25 @@ class PagesTable:
         finally:
             os.unlink(tmp)
         cur = os.path.join(vdir, "CURRENT")
-        try:  # never move CURRENT backwards past a racing higher commit
-            with open(cur) as f:
-                if int(f.read().strip()) >= m.version:
-                    return
-        except (FileNotFoundError, ValueError):
-            pass
-        tmp = cur + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(m.version))
-        os.rename(tmp, cur)
+        # the pointer advance is serialized under an flock: without it a
+        # racing higher committer could land between our read-check and
+        # rename and be overwritten — CURRENT would move backwards (no
+        # data loss, but "current" would briefly point at an older
+        # snapshot). The version-file claim above stays lock-free.
+        import fcntl
+
+        with open(cur + ".lock", "a") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:  # never move CURRENT backwards past a racing higher commit
+                with open(cur) as f:
+                    if int(f.read().strip()) >= m.version:
+                        return
+            except (FileNotFoundError, ValueError):
+                pass
+            tmp = cur + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(str(m.version))
+            os.rename(tmp, cur)
 
     # ------------------------------------------------------------------
     # read
@@ -251,7 +270,13 @@ class PagesTable:
     def _read_schema(self, m: Manifest):
         from pyspark.sql.types import StructType
 
-        cols: dict[str, str] = {n: t for n, t in list(m.schema) + _HIDDEN_DDL}
+        phys = m.physical or {}
+        # generation-bound columns are read under their ON-DISK name;
+        # older generations of the same logical name (pre-drop vintages)
+        # are simply never requested — the resurrection guard
+        cols: dict[str, str] = {
+            phys.get(n, n): t for n, t in list(m.schema)
+        } | {n: t for n, t in _HIDDEN_DDL}
         dtype_of = dict(cols)
         # old rename names may still exist in earlier file vintages; they
         # carry the same dtype as their current name (walk chains forward)
@@ -268,6 +293,9 @@ class PagesTable:
         """Apply accumulated renames (coalesce old→new across file vintages)
         then project to manifest schema + hidden columns, NULL-filling
         columns added after a file was written."""
+        for logical, p in (m.physical or {}).items():
+            if p in df.columns and logical not in df.columns:
+                df = df.withColumnRenamed(p, logical)
         for old, new in m.renames:
             if old in df.columns and new in df.columns:
                 df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
@@ -572,6 +600,7 @@ class PagesTable:
         cfg = cfg or TableConfig(name="web.pages")
         if self._is_committed(m, bid):
             return {"batch_id": bid, "skipped": True, "reason": "already committed"}
+        self._check_ledger_gap(m, bid)
 
         events = table_filter(events, [cfg.name])
         events = oversized_ddl_filter(events)
@@ -606,6 +635,7 @@ class PagesTable:
             mark,
             carry_salted=carry,
             target_types=dict(m.schema),
+            physical=dict(m.physical or {}),
         )
         res = self._commit_batch(
             m, bid, delta, n_ddl, t0, mark,
@@ -870,6 +900,7 @@ class PagesTable:
                         m.num_buckets,
                         carry_salted=carry_for_submit(),
                         target_types=dict(plan_m.schema),
+                        physical=dict(plan_m.physical or {}),
                     )
                     inflight.append((bid, ddls, t0, fut))
                     while len(inflight) >= depth:
@@ -936,6 +967,7 @@ class PagesTable:
         mark=lambda label: None,
         carry_salted: bool | None = None,
         target_types: dict[str, str] | None = None,
+        physical: dict | None = None,
     ) -> dict:
         """Build and write ONE batch's delta (merge-on-read unit of work).
         Pure with respect to the manifest — takes a mapping snapshot, so
@@ -1011,7 +1043,7 @@ class PagesTable:
             )
             if cfg.transform is not None:
                 merged = cfg.transform(merged)
-            new_dirs, lineage_rows = self._write_snapshot(merged)
+            new_dirs, lineage_rows = self._write_snapshot(merged, physical)
             mark("merge_write")
         if not probed:
             if new_dirs:
@@ -1040,8 +1072,14 @@ class PagesTable:
         }
 
     def _write_snapshot(
-        self, df: DataFrame
+        self, df: DataFrame, physical: dict | None = None
     ) -> tuple[dict[str, str], dict[str, int]]:
+        if physical:
+            # generation-bound columns land on disk under their physical
+            # name; _align maps them back to logical on every read
+            df = df.withColumnsRenamed(
+                {lg: p for lg, p in physical.items() if lg in df.columns}
+            )
         # uuid suffix: a crashed attempt's orphan dir can never collide
         # with the retry's write (orphans are GC-able via vacuum()).
         rel = os.path.join("data", f"d-{uuid.uuid4().hex[:12]}")
@@ -1083,7 +1121,7 @@ class PagesTable:
         # writes stay UNSORTED: sorting belongs on the maintenance path,
         # not the per-batch hot path.
         compacted = compacted.sortWithinPartitions("_bucket", *frozen.key_columns)
-        cdirs, crows = self._write_snapshot(compacted)
+        cdirs, crows = self._write_snapshot(compacted, frozen.physical)
         return snapshot, cdirs, crows
 
     def _compact_buckets(self, m: Manifest, over: list[str], bid: str) -> None:
@@ -1177,7 +1215,7 @@ class PagesTable:
             merged = self._bucket_merge(
                 cur.withColumn("_bucket", bucket_col), list(m.key_columns)
             ).sortWithinPartitions("_bucket", *m.key_columns)
-            cdirs, crows = self._write_snapshot(merged)
+            cdirs, crows = self._write_snapshot(merged, m.physical)
             for b, d in cdirs.items():
                 m.buckets[b] = [d]
                 m.lineage[b] = {"batch_id": bid, "rows": crows.get(b, 0)}
@@ -1231,6 +1269,15 @@ class PagesTable:
                 raise ValueError(f"unsupported DDL dtype {dtype}")
             m.schema.append([col, DDL_DTYPES[dtype].simpleString()])
             m.column_mapping[col] = col
+            gen = (m.dropped_gens or {}).get(col, 0)
+            if gen:
+                # re-ADD of a previously dropped name: bind the logical
+                # name to a fresh generation-suffixed ON-DISK name. Old
+                # vintages physically hold the gen-0 (or older-gen) name,
+                # which the read schema no longer asks for — pre-drop
+                # values can never resurface, without rewriting any data
+                # (the name-generation analogue of Iceberg field ids)
+                m.physical[col] = f"{col}__g{gen}"
         elif kind == "rename_column":
             old, new = d["col"], d["new_name"]
             if old not in names:
@@ -1241,7 +1288,12 @@ class PagesTable:
             for wire, cur in list(m.column_mapping.items()):
                 if cur == old:
                     m.column_mapping[wire] = new
-            m.renames.append([old, new])
+            if old in (m.physical or {}):
+                # generation-bound column: its on-disk name never changes,
+                # so no renames entry (nothing to coalesce in old files)
+                m.physical[new] = m.physical.pop(old)
+            else:
+                m.renames.append([old, new])
         elif kind == "widen_column":
             # MySQL `ALTER ... MODIFY col BIGINT` analog: lossless type
             # widening only. No data rewrite — the manifest dtype changes
@@ -1281,10 +1333,12 @@ class PagesTable:
                     del m.column_mapping[wire]
             # Old file vintages keep the physical column; the manifest
             # schema no longer reads it (column pruning), and the next
-            # compaction rewrites it away. Name-based mapping caveat
-            # (Iceberg solves this with field ids): re-ADDING the same
-            # name later resurrects pre-drop values from vintages that
-            # have not been compacted yet.
+            # compaction rewrites it away. The drop bumps the name's
+            # generation: a later re-ADD binds to a fresh on-disk name,
+            # so pre-drop values in uncompacted vintages can never
+            # resurface (field-id-style safety).
+            m.dropped_gens[col] = (m.dropped_gens or {}).get(col, 0) + 1
+            m.physical.pop(col, None)
         else:
             raise ValueError(f"unknown DDL kind {kind}")
 
@@ -1468,6 +1522,44 @@ class PagesTable:
         m = m or self.manifest()
         wm = getattr(m, "ledger_watermarks", {}) or {}
         return len(m.committed_batches) + sum(w + 1 for w in wm.values())
+
+    @staticmethod
+    def _check_ledger_gap(m: Manifest, bid: str) -> None:
+        """Warn when a numeric batch id SKIPS ids under an active prefix
+        watermark protocol. The inline ledger fold assumes ids per prefix
+        arrive contiguously (true for the shipped replay loops and
+        checkpointed streams); a caller that skips a file (manual log
+        deletion + ``from_file_seq`` resume past it) leaves a gap — later
+        ids stay in the explicit list until the gap fills, and if the
+        skipped id is ever applied with DIFFERENT content the watermark
+        would silently cover it. The batch still applies; the warning
+        makes the broken-contiguity contract visible."""
+        prefix, _, num = bid.rpartition("-")
+        if not (prefix and num.isdigit()):
+            return
+        w = (m.ledger_watermarks or {}).get(prefix, -1)
+        if w < 0:  # no watermark yet → no contiguity contract established
+            return
+        k = int(num)
+        if k <= w + 1:
+            return
+        have = set()
+        for b in m.committed_batches:
+            p2, _, n2 = b.rpartition("-")
+            if p2 == prefix and n2.isdigit():
+                have.add(int(n2))
+        missing = [i for i in range(w + 1, k) if i not in have]
+        if missing:
+            import warnings
+
+            warnings.warn(
+                f"batch id {bid!r} skips uncommitted ids {missing} under "
+                f"prefix {prefix!r} (watermark {w}): the ledger fold "
+                "assumes contiguous ids per prefix — applying the skipped "
+                "ids later with different content would be masked once "
+                "contiguity resumes",
+                stacklevel=3,
+            )
 
     def _is_committed(self, m: Manifest, bid: str) -> bool:
         if bid in m.committed_batches:

@@ -286,3 +286,33 @@ def test_gc_grace_window_protects_in_flight_writes(
     res3 = t.vacuum(grace_sec=0.0)  # grace elapsed → crash orphan, GC'd
     assert "delta-inflight-test" in res3["removed_dirs"]
     assert not os.path.exists(inflight)
+
+
+def test_ledger_gap_warns_on_skipped_id(spark, event_log_dir):
+    """Skip-a-file resume: applying fileseq-N with N-1 neither committed
+    nor explicit warns (the fold's contiguity contract is broken), while
+    the batch still applies; the contiguous next id stays silent."""
+    import tempfile
+    import warnings
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from mysql_syncer_spark.sources.event_log import read_event_log
+
+    path = os.path.join(tempfile.mkdtemp(prefix="gap_"), "pages")
+    ev = read_event_log(spark, event_log_dir)
+    t = PagesTable.create(spark, path, num_buckets=4)
+    t.apply_batch("fileseq-0", ev.filter(F.col("file_seq") == 0), None)
+    assert t.manifest().ledger_watermarks.get("fileseq", -1) >= 0
+
+    # contiguous id: no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        t.apply_batch("fileseq-1", ev.filter(F.col("file_seq") == 1), None)
+
+    # gap: fileseq-2 skipped, fileseq-3 applied → warn but apply
+    with pytest.warns(UserWarning, match="skips uncommitted ids \\[2\\]"):
+        res = t.apply_batch("fileseq-3", ev.filter(F.col("file_seq") == 1), None)
+    assert res["skipped"] is not True
+    assert "fileseq-3" in t.manifest().committed_batches  # held explicit

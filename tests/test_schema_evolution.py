@@ -176,3 +176,97 @@ def test_drop_column(spark, tmp_table_path):
             (20, 2, 1, "DDL", "web.pages", None, None, None,
              ("drop_column", "url", None, None)),
         ]), None)
+
+
+def test_drop_then_readd_does_not_resurrect(spark, tmp_table_path):
+    """Re-ADDING a dropped column name must NOT resurrect pre-drop values
+    from uncompacted vintages: the re-add binds the name to a fresh
+    generation-suffixed on-disk column (the field-id analogue), so old
+    files' physical column is never read again."""
+    import datetime as dt
+
+    t = PagesTable.create(spark, tmp_table_path, num_buckets=2)
+    ts = dt.datetime(2024, 1, 1)
+    ts2 = dt.datetime(2024, 1, 2)
+    add = ("add_column", "extra", None, "string")
+    drop = ("drop_column", "extra", None, None)
+    ins = lambda pos, fs, url, tsv, extra: (
+        pos, fs, 1, "I", "web.pages", None, None,
+        (url, tsv, None, None, "en", extra), None,
+    )
+    t.apply_batch("g0", _mk_events(spark, [
+        (1, 0, 1, "DDL", "web.pages", None, None, None, add),
+        ins(2, 0, "http://a/1", ts, "old1"),
+        ins(3, 0, "http://a/2", ts, "old2"),
+    ]), None)
+    v0 = t.manifest().version
+    t.apply_batch("g1", _mk_events(spark, [
+        (10, 1, 1, "DDL", "web.pages", None, None, None, drop),
+    ]), None)
+    t.apply_batch("g2", _mk_events(spark, [
+        (20, 2, 1, "DDL", "web.pages", None, None, None, add),
+        ins(21, 2, "http://a/3", ts2, "new3"),
+    ]), None)
+    m = t.manifest()
+    assert m.physical == {"extra": "extra__g1"}
+    assert m.dropped_gens == {"extra": 1}
+    vals = {r["url"]: r["extra"] for r in t.read().collect()}
+    assert vals == {"http://a/1": None, "http://a/2": None, "http://a/3": "new3"}
+
+    # changelog across the boundary: only the genuinely new row appears,
+    # with a NULL before image — no resurrection rows
+    log = t.changes_between(v0, with_before=True)
+    rows = log.collect()
+    assert {r["url"]: r["change_op"] for r in rows} == {"http://a/3": "I"}
+    assert rows[0]["extra"] == "new3" and rows[0]["before_extra"] is None
+
+    # compaction rewrites under the generation name; values stay masked
+    t.compact(buckets=[0, 1])
+    vals2 = {r["url"]: r["extra"] for r in t.read().collect()}
+    assert vals2 == vals
+
+    # a SECOND drop + re-add bumps the generation again
+    t.apply_batch("g3", _mk_events(spark, [
+        (30, 3, 1, "DDL", "web.pages", None, None, None, drop),
+        (31, 3, 1, "DDL", "web.pages", None, None, None, add),
+    ]), None)
+    m3 = t.manifest()
+    assert m3.physical == {"extra": "extra__g2"}
+    assert all(
+        r["extra"] is None for r in t.read().collect()
+    ), "second re-add leaked a previous generation's values"
+
+
+def test_readded_column_rename_keeps_physical_binding(spark, tmp_table_path):
+    """Renaming a generation-bound column moves the physical binding to
+    the new logical name (no renames entry — the on-disk name is stable),
+    and values written under the old logical name stay readable."""
+    import datetime as dt
+
+    t = PagesTable.create(spark, tmp_table_path, num_buckets=2)
+    ts = dt.datetime(2024, 1, 1)
+    ins = lambda pos, fs, url, extra: (
+        pos, fs, 1, "I", "web.pages", None, None,
+        (url, ts, None, None, "en", extra), None,
+    )
+    t.apply_batch("h0", _mk_events(spark, [
+        (1, 0, 1, "DDL", "web.pages", None, None, None,
+         ("add_column", "extra", None, "string")),
+        ins(2, 0, "http://b/1", "dead"),
+    ]), None)
+    t.apply_batch("h1", _mk_events(spark, [
+        (10, 1, 1, "DDL", "web.pages", None, None, None,
+         ("drop_column", "extra", None, None)),
+        (11, 1, 1, "DDL", "web.pages", None, None, None,
+         ("add_column", "extra", None, "string")),
+        ins(12, 1, "http://b/2", "live"),
+    ]), None)
+    t.apply_batch("h2", _mk_events(spark, [
+        (20, 2, 1, "DDL", "web.pages", None, None, None,
+         ("rename_column", "extra", "extra_v2", None)),
+    ]), None)
+    m = t.manifest()
+    assert m.physical == {"extra_v2": "extra__g1"}
+    assert ["extra", "extra_v2"] not in m.renames
+    vals = {r["url"]: r["extra_v2"] for r in t.read().collect()}
+    assert vals == {"http://b/1": None, "http://b/2": "live"}
