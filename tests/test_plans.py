@@ -148,3 +148,55 @@ def test_lsh_cosine_pairs_bands_evaluated_once(spark, sf_dir):
     plan = _plan(lsh_cosine_pairs(emb, dim=dim))
     assert "ArrowEval" not in plan and "PythonUDF" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_bench_compact_line_fits_driver_tail_capture():
+    """The driver's tail capture holds ~2000 chars; round 3's full bench
+    line overflowed it and the queries table was lost. The compact stdout
+    view must stay under the cap with every HEADLINE slot present."""
+    import json
+
+    import bench
+
+    sf1 = bench._sf1_aggregate(
+        [{"wall_sec_n": 315.52, "wall_sec_4n": 85.76,
+          "wall_sec_4n_20files": 133.24, "single_batch_wall_sec_4n": 59.04}] * 6,
+        1, 4,
+    )
+    replay = {
+        "n_events": 1020000, "cores_n": 1, "cores_4n": 4,
+        "events_per_sec_n": 6618.7, "events_per_sec_4n": 19139.5,
+        "wall_sec_n": 154.11, "wall_sec_4n": 53.29,
+        "speedup_n_to_4n": 2.892, "scaling_efficiency_n_to_4n": 0.723,
+        "hardware_ceiling_speedup_sha2": 3.5,
+        "efficiency_vs_hardware_ceiling": 1.1,
+        "estimator": "median of fixed rounds (unconditioned)",
+        "rounds_per_level": 3,
+        "speedup_best_of": 4.0, "scaling_efficiency_best_of": 1.0,
+        "all_wall_sec_n": [142.05, 173.42, 144.45],
+        "all_wall_sec_4n": [149.2, 171.22, 159.68],
+        "all_loadavg_n": [2.14, 1.98, 2.44], "all_loadavg_4n": [4.15, 3.61, 3.49],
+    }
+    payload = {
+        "metric": "cdc_replay_wall_sec_4N", "value": 153.29, "unit": "sec",
+        "sf": 0.1, "queries": {n: 123.456 for n in bench.HEADLINE},
+        "replay": replay,
+        "replay_multi_batch": {
+            "n_events": 1020000, "n_batches": 20, "pipeline_depth": 4,
+            "events_per_sec_n": 6618.7, "events_per_sec_4n": 19139.5,
+            "wall_sec_n": 154.11, "wall_sec_4n": 53.29,
+            "speedup_n_to_4n": 2.892, "scaling_efficiency_n_to_4n": 0.723,
+            "single_batch_same_shape_wall_sec_4n": 124.35,
+            "per_batch_overhead_sec_4n": 1.45,
+        },
+        "replay_sf1": sf1,
+    }
+    line = json.dumps(bench._compact(payload))
+    assert len(line) < 1900, len(line)
+    got = json.loads(line)
+    assert set(got["queries"]) == set(bench.HEADLINE)
+    assert got["replay_sf1"]["multi_batch_40_files"]["speedup_n_to_4n"]
+    assert got["replay"]["scaling_efficiency_n_to_4n"]
+    # the full payload (attempts incl.) is preserved in the file artifact
+    assert got["full"] == "BENCH/latest.json"
+    assert "attempts" not in got["replay_sf1"]
