@@ -937,6 +937,60 @@ def q_merge_into_base_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_binlog_files(tag: str, n_events: int, events_per_file: int) -> str:
+    """Byte-faithful binlog FILE fixture derived from the SAME parquet
+    bytes the shared typed log holds (so the DuckDB oracle and the file
+    scanner describe one stream)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_syncer_spark.sources.binlog_file import encode_binlog_files
+
+    typed_dir = _shared_event_log(tag, n_events, events_per_file)
+    d = os.path.join(
+        _SHARED_LOG_ROOT, f"binfiles-{tag}-{n_events}-{events_per_file}"
+    )
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    tmp = d + f".tmp-{os.getpid()}"
+    tables = [
+        pq.read_table(os.path.join(typed_dir, fn))
+        for fn in sorted(os.listdir(typed_dir))
+        if fn.startswith("binlog-") and fn.endswith(".parquet")
+    ]
+    encode_binlog_files(pa.concat_tables(tables), tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, d)
+        return d
+    except OSError:
+        return d if os.path.exists(marker) else tmp
+
+
+def q_binlog_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
+    """S4 at the byte level: RAW binlog FILE bytes (4-byte magic, 19-byte
+    event headers, QUERY/XID/TABLE_MAP/ROWS bodies, ROTATE/STOP —
+    /root/reference/src/master/rs_parse_binlog.c) scanned distributed
+    (one task per file) into a typed event census with decoded-image
+    value checksums. The oracle derives the identical census from the
+    typed parquet log the files were encoded from — any framing or
+    row-image byte error breaks a count or a checksum."""
+    from mysql_syncer_spark.sources.binlog_file import binlog_census
+
+    d = _shared_binlog_files("replay", 2_000, 1_000)
+    c = binlog_census(spark, d)
+    return c.select(
+        F.col("file_seq").cast("int").alias("file_seq"),
+        "kind",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_images").cast("long").alias("n_images"),
+        F.col("url_hash_sum").cast("long").alias("url_hash_sum"),
+        F.col("ts_us_sum").cast("long").alias("ts_us_sum"),
+    )
+
+
 def q_binary_row_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
     """P2-P4: packed binary row-image decode (null bitmap + typed values +
@@ -1531,8 +1585,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each is fully covered by a stronger checked query and by pytest:
     - cdc_txn_boundaries   → cdc_txn_gated_batches (same census + the F5
       batch-assignment invariant)
-    - cdc_row_decode       → cdc_binary_row_decode / cdc_mysql_typed_decode
-      / cdc_mysql_row_image (real packed decode vs a JSON regexp)
+    - cdc_row_decode       → cdc_mysql_typed_decode / cdc_mysql_row_image
+      (real packed decode vs a JSON regexp)
+    Round-4 curation: cdc_binary_row_decode (engine-defined packed format)
+    retired in favor of cdc_binlog_file_scan — raw binlog FILE bytes are
+    the stronger P1-P4+S4 evidence, and P2 decode stays value-checked via
+    cdc_mysql_row_image (the byte-compatible layout) plus pytest
+    (tests/test_decoder.py drives the retired callable's codec).
     - doc_token_count      → n_tokens is a value-checked column of
       doc_quality (same token_count() call)
     - doc_fingerprint      → fp is the group key of doc_exact_dedup and a
@@ -1557,7 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bootstrap_cutover_state": q_bootstrap_cutover,
         "cdc_merge_into_base_join": q_merge_into_base_join,
         "cdc_engine_replay_final_state": q_engine_replay,
-        "cdc_binary_row_decode": q_binary_row_decode,
+        "cdc_binlog_file_scan": q_binlog_file_scan,
         "cdc_mysql_typed_decode": q_mysql_typed_decode,
         "cdc_mysql_row_image": q_mysql_row_image,
         "cdc_server_id_guard": q_server_id_guard,
@@ -1757,14 +1816,62 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN pm ON r.url = pm.url AND r.file_seq = pm.file_seq
             WHERE pm.prev_max IS NULL OR r.rk > pm.prev_max
         """,
-        "cdc_binary_row_decode": """
-            SELECT i AS seq, i AS id,
-                   (1700000000000000 + i * 1000)::BIGINT AS ts,
-                   'https://d' || (i % 37)::VARCHAR || '.example.com/p/'
-                       || i::VARCHAR AS url,
-                   CASE i % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
-                        ELSE NULL END AS lang
-            FROM range(1000) t(i)
+        "cdc_binlog_file_scan": f"""
+            WITH ev AS (
+                SELECT file_seq, op, tx_id, after,
+                       file_row_number AS rn
+                FROM read_parquet(
+                    '{_shared_event_log("replay", 2_000, 1_000)}/binlog-*.parquet',
+                    file_row_number=true)
+            ),
+            rows_ev AS (SELECT * FROM ev WHERE op IN ('I','U','D')),
+            rk AS (
+                SELECT file_seq,
+                       CASE op WHEN 'I' THEN 'WRITE_ROWS'
+                               WHEN 'U' THEN 'UPDATE_ROWS'
+                               ELSE 'DELETE_ROWS' END AS kind,
+                       COUNT(*)::BIGINT AS n_events,
+                       COUNT(*)::BIGINT AS n_images,
+                       SUM(('0x' || substr(md5(after.url), 1, 8))::BIGINT)::BIGINT
+                           AS url_hash_sum,
+                       SUM(epoch_us(after.warc_ts))::BIGINT AS ts_us_sum
+                FROM rows_ev GROUP BY 1, 2
+            ),
+            -- BEGIN/XID per maximal same-tx run: the encoder opens a tx at
+            -- every event whose PREVIOUS event (any op) carries a different
+            -- tx_id (DDL rows have NULL tx_id, so they break runs)
+            seg_flags AS (
+                SELECT file_seq,
+                       CASE WHEN op IN ('I','U','D') AND
+                           lag(tx_id) OVER (PARTITION BY file_seq ORDER BY rn)
+                               IS DISTINCT FROM tx_id
+                       THEN 1 ELSE 0 END AS s
+                FROM ev
+            ),
+            segs AS (
+                SELECT file_seq, SUM(s)::BIGINT AS n
+                FROM seg_flags GROUP BY file_seq
+            ),
+            files AS (SELECT DISTINCT file_seq FROM ev),
+            mx AS (SELECT MAX(file_seq) AS m FROM ev)
+            SELECT * FROM rk
+            UNION ALL SELECT file_seq, 'TABLE_MAP', COUNT(*)::BIGINT,
+                   0::BIGINT, 0::BIGINT, 0::BIGINT FROM rows_ev GROUP BY 1
+            UNION ALL SELECT file_seq, 'QUERY_DDL', COUNT(*)::BIGINT,
+                   0::BIGINT, 0::BIGINT, 0::BIGINT
+                   FROM ev WHERE op = 'DDL' GROUP BY 1
+            UNION ALL SELECT file_seq, 'QUERY_BEGIN', n,
+                   0::BIGINT, 0::BIGINT, 0::BIGINT FROM segs
+            UNION ALL SELECT file_seq, 'XID', n,
+                   0::BIGINT, 0::BIGINT, 0::BIGINT FROM segs
+            UNION ALL SELECT file_seq, 'FDE', 1::BIGINT,
+                   0::BIGINT, 0::BIGINT, 0::BIGINT FROM files
+            UNION ALL SELECT file_seq, 'ROTATE', 1::BIGINT,
+                   0::BIGINT, 0::BIGINT, 0::BIGINT
+                   FROM files, mx WHERE file_seq <> m
+            UNION ALL SELECT file_seq, 'STOP', 1::BIGINT,
+                   0::BIGINT, 0::BIGINT, 0::BIGINT
+                   FROM files, mx WHERE file_seq = m
         """,
         "cdc_mysql_typed_decode": _MYSQL_TYPED_DECODE_SQL,
         "cdc_mysql_row_image": _MYSQL_ROW_IMAGE_SQL,

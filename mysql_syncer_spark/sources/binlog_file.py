@@ -1,0 +1,516 @@
+"""Raw MySQL binlog FILE framing (SURVEY S4 at the byte level).
+
+The last protocol layer between this engine and "point it at a real
+binlog": everything below the ROWS_EVENT payloads that
+``sources/wire_log.py`` already speaks. A consumer holding real
+``mysql-bin.NNNNNN`` bytes feeds them to ``read_binlog_files`` and gets
+the same wire envelope the rest of the engine runs on.
+
+Byte layout (reference file:line):
+- 4-byte magic, skipped before the first header
+  (/root/reference/src/master/rs_request_dump.c:213-215).
+- 19-byte event header: timestamp u32 | type u8 | server_id u32 |
+  event_len u32 | next_pos u32 | flags u16 — all little-endian
+  (/root/reference/src/master/rs_read_binlog.h:137-143, walk order
+  rs_parse_binlog.c:59-117).
+- QUERY (type 2): 13B fixed (thread_id u32, exec_sec u32, db_len u8,
+  err u16, status_len u16) | status block | db name + NUL | sql text;
+  ``BEGIN`` raises and ``COMMIT`` clears the in-transaction flag, and a
+  body over 2*RS_SQL_MAX_LEN (=2048) bytes is skipped
+  (rs_parse_binlog.c:119-185, rs_read_binlog.h:11,18).
+- INTVAR (5): 1B subtype (2 = INSERT_ID) | 8B id (rs_parse_binlog.c:
+  189-224).
+- XID (16): 8B transaction id, clears the in-transaction flag
+  (rs_parse_binlog.c:227-244).
+- TABLE_MAP (19): table id 6B + reserved 2B | db len u8, db + NUL |
+  tb len u8, tb + NUL | packed column count | type byte per column |
+  packed meta length | meta bytes; the ,db.tb, filter decision happens
+  HERE (rs_parse_binlog.c:246-320).
+- WRITE/UPDATE/DELETE_ROWS (23/24/25): raw body = table id 6B +
+  reserved 2B | packed column count | used bitmap(s) | row images.
+  The scanner PREPENDS the active TABLE_MAP's (cn, types, meta) to form
+  the engine blob — exactly the framing the reference master prepends
+  for its slaves (rs_binlog_create_data; consumed by
+  /root/reference/src/slave/rs_binlog_row.c:430-631) — so
+  ``mysql_rows.MySQLTableDef.decode_rows_event`` runs unchanged.
+- ROTATE (4) / STOP (3): control events; a foreign server id skips them
+  (rs_parse_binlog.c:468-491).
+
+Scale stance: one binlog file is inherently sequential (the reference
+fread-walks it), so the unit of parallelism is the FILE — Spark's
+binaryFile source gives one task per file and the scanner walk is
+Arrow-batched Python per file. Protocol surface, not the 100 TB hot
+path (that stays the typed parquet log); at production scale this layer
+is the INGEST edge whose output lands in typed parquet once.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .mysql_rows import MySQLTableDef
+from .wire_log import PAGES_WIRE_TABLE, _payload_to_wire, ddl_to_query
+
+MAGIC = b"\xfebin"
+HEADER_LEN = 19
+SQL_MAX_LEN = 1024  # RS_SQL_MAX_LEN (rs_read_binlog.h:11)
+
+# event type codes (rs_read_binlog.h:100-134)
+QUERY_EVENT = 2
+STOP_EVENT = 3
+ROTATE_EVENT = 4
+INTVAR_EVENT = 5
+FORMAT_DESCRIPTION_EVENT = 15
+XID_EVENT = 16
+TABLE_MAP_EVENT = 19
+WRITE_ROWS_EVENT = 23
+UPDATE_ROWS_EVENT = 24
+DELETE_ROWS_EVENT = 25
+
+_ROWS_OP = {WRITE_ROWS_EVENT: "I", UPDATE_ROWS_EVENT: "U", DELETE_ROWS_EVENT: "D"}
+_KIND = {
+    QUERY_EVENT: "QUERY",
+    STOP_EVENT: "STOP",
+    ROTATE_EVENT: "ROTATE",
+    INTVAR_EVENT: "INTVAR",
+    FORMAT_DESCRIPTION_EVENT: "FDE",
+    XID_EVENT: "XID",
+    TABLE_MAP_EVENT: "TABLE_MAP",
+    WRITE_ROWS_EVENT: "WRITE_ROWS",
+    UPDATE_ROWS_EVENT: "UPDATE_ROWS",
+    DELETE_ROWS_EVENT: "DELETE_ROWS",
+}
+
+_BIN_FILE_RE = re.compile(r"mysql-bin\.(\d+)$")
+
+
+def _header(ts: int, etype: int, server_id: int, body_len: int, pos: int) -> bytes:
+    el = HEADER_LEN + body_len
+    return struct.pack("<IBIIIH", ts & 0xFFFFFFFF, etype, server_id, el,
+                       pos + el, 0)
+
+
+def _query_body(db: str, sql: str) -> bytes:
+    dbb = db.encode()
+    return (
+        struct.pack("<IIBHH", 0, 0, len(dbb), 0, 0)
+        + dbb + b"\x00"
+        + sql.encode()
+    )
+
+
+def _table_map_body(table_id: int, db: str, tb: str, td: MySQLTableDef) -> bytes:
+    from .decoder import encode_packed_int
+    from .mysql_rows import MYSQL_TYPE_CODES
+
+    dbb, tbb = db.encode(), tb.encode()
+    types = bytes(MYSQL_TYPE_CODES[c.parse()[0]] for c in td.columns)
+    meta = b"".join(c.meta_bytes() for c in td.columns)
+    return (
+        table_id.to_bytes(6, "little") + b"\x00\x00"
+        + bytes([len(dbb)]) + dbb + b"\x00"
+        + bytes([len(tbb)]) + tbb + b"\x00"
+        + encode_packed_int(len(td.columns)) + types
+        + encode_packed_int(len(meta)) + meta
+    )
+
+
+def _rows_body(td: MySQLTableDef, blob: bytes) -> bytes:
+    """Strip the engine blob's prepended (cn, types, meta) framing down to
+    the raw file body (table id onward) — the encoder inverse of the
+    master's prepend."""
+    cn = struct.unpack_from("<I", blob, 0)[0]
+    ml = struct.unpack_from("<I", blob, 4 + cn)[0]
+    return blob[4 + cn + 4 + ml:]
+
+
+def encode_binlog_files(
+    table,
+    out_dir: str,
+    table_def: MySQLTableDef | None = None,
+    server_id: int = 1,
+    table_id: int = 1,
+) -> list[str]:
+    """Typed event table (generator.EVENT_ARROW layout, pyarrow) → real
+    binlog FILE bytes: ``mysql-bin.NNNNNN`` per file_seq plus a
+    ``mysql-bin.index`` (the rotation index the reference walks,
+    rs_read_binlog.c:210-252). Fixture side — MySQL is the real producer.
+
+    Deterministic framing rules (the census oracle mirrors them in SQL):
+    one FDE per file; BEGIN before each maximal run of row events sharing
+    a tx_id, XID after it (a DDL or file end closes the run — MySQL DDL
+    implicitly commits); one TABLE_MAP immediately before EVERY rows
+    event; one ROTATE per non-final file; STOP on the final file."""
+    td = table_def or PAGES_WIRE_TABLE
+    os.makedirs(out_dir, exist_ok=True)
+    # ARRIVAL order, not log_pos order: a redelivered duplicate carries
+    # its ORIGINAL log_pos, but the file records the stream as it
+    # happened (real binlog positions are the byte offsets we assign)
+    events = table.to_pylist()
+    by_file: dict[int, list[dict]] = {}
+    for ev in events:
+        by_file.setdefault(int(ev["file_seq"]), []).append(ev)
+    seqs = sorted(by_file)
+    paths = []
+    for i, seq in enumerate(seqs):
+        buf = bytearray(MAGIC)
+        pos = len(buf)
+
+        def emit(etype: int, body: bytes, ts: int = 0) -> None:
+            nonlocal pos
+            buf.extend(_header(ts, etype, server_id, len(body), pos))
+            buf.extend(body)
+            pos += HEADER_LEN + len(body)
+
+        # FDE: v4, 50B server version, create ts, header len, 27 post-hdr
+        emit(
+            FORMAT_DESCRIPTION_EVENT,
+            struct.pack("<H", 4) + b"5.5.0-msss".ljust(50, b"\x00")
+            + struct.pack("<I", 0) + bytes([HEADER_LEN]) + bytes(27),
+        )
+        open_tx = None
+        for ev in by_file[seq]:
+            op = ev["op"]
+            if op == "DDL":
+                if open_tx is not None:  # DDL implicitly commits
+                    emit(XID_EVENT, struct.pack("<Q", open_tx))
+                    open_tx = None
+                emit(QUERY_EVENT, _query_body("web", ddl_to_query(ev["ddl"])))
+                continue
+            if op not in ("I", "U", "D"):
+                continue
+            tx = ev["tx_id"]
+            if open_tx is not None and tx != open_tx:
+                emit(XID_EVENT, struct.pack("<Q", open_tx))
+                open_tx = None
+            if open_tx is None and tx is not None:
+                emit(QUERY_EVENT, _query_body("web", "BEGIN"))
+                open_tx = int(tx)
+            db, tb = (ev["table"].split(".", 1) + ["t"])[:2]
+            emit(TABLE_MAP_EVENT, _table_map_body(table_id, db, tb, td))
+            if op == "U":
+                blob = td.encode_rows_event(
+                    [(_payload_to_wire(ev["before"]), _payload_to_wire(ev["after"]))],
+                    "update",
+                )
+                etype = UPDATE_ROWS_EVENT
+            else:
+                blob = td.encode_rows_event(
+                    [_payload_to_wire(ev["after"])],
+                    "delete" if op == "D" else "write",
+                )
+                etype = DELETE_ROWS_EVENT if op == "D" else WRITE_ROWS_EVENT
+            emit(etype, _rows_body(td, blob))
+        if open_tx is not None:
+            emit(XID_EVENT, struct.pack("<Q", open_tx))
+        if i + 1 < len(seqs):
+            nxt = f"mysql-bin.{seqs[i + 1]:06d}"
+            emit(ROTATE_EVENT, struct.pack("<Q", len(MAGIC)) + nxt.encode())
+        else:
+            emit(STOP_EVENT, b"")
+        path = os.path.join(out_dir, f"mysql-bin.{seq:06d}")
+        with open(path, "wb") as f:
+            f.write(bytes(buf))
+        paths.append(path)
+    with open(os.path.join(out_dir, "mysql-bin.index"), "w") as f:
+        f.write("\n".join(os.path.basename(p) for p in paths) + "\n")
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# scanner (driver-free per-file walk; the reference's read loop re-expressed)
+# ---------------------------------------------------------------------------
+
+def scan_binlog_bytes(
+    content: bytes,
+    file_seq: int,
+    tables: tuple[str, ...] | None = None,
+    expected_server_id: int | None = None,
+    from_pos: int = 0,
+) -> list[dict]:
+    """Walk one binlog file's bytes → per-event dicts (kind + wire
+    envelope fields + image count). Pure function; runs inside the
+    Arrow-batched mapper AND standalone (resume: ``from_pos`` seeks a
+    saved offset past the magic, rs_request_dump.c:213-215).
+
+    Reference-parity behaviors: the ,db.tb, table filter decides at
+    TABLE_MAP and skips that map's rows events; an oversized QUERY body
+    (> 2*SQL_MAX_LEN) is skipped; ROTATE/STOP from a foreign server id
+    are skipped (rs_parse_binlog.c:468-491); BEGIN/COMMIT toggle the
+    transaction flag and XID stamps the buffered row events' tx_id."""
+    if content[: len(MAGIC)] != MAGIC:
+        raise ValueError("bad binlog magic")
+    pos = max(from_pos, len(MAGIC))
+    n = len(content)
+    out: list[dict] = []
+    tx_buffer: list[dict] = []  # row/DDL events awaiting their XID stamp
+    in_tran = False
+    filtered = False  # current TABLE_MAP's filter decision
+    tmap: tuple[str, bytes] | None = None  # (db.tb, prepend framing)
+
+    def flush_tx(tx_id: int | None) -> None:
+        for r in tx_buffer:
+            r["tx_id"] = tx_id
+        out.extend(tx_buffer)
+        tx_buffer.clear()
+
+    while pos + HEADER_LEN <= n:
+        ts, etype, svrid, el, next_pos, _flags = struct.unpack_from(
+            "<IBIIIH", content, pos
+        )
+        if el < HEADER_LEN or pos + el > n:
+            raise ValueError(f"truncated event at pos {pos}")
+        body = content[pos + HEADER_LEN: pos + el]
+        ev = {
+            "kind": _KIND.get(etype, f"UNKNOWN_{etype}"),
+            "log_pos": pos,
+            "file_seq": file_seq,
+            "server_id": svrid,
+            "op": None,
+            "table": None,
+            "tx_id": None,
+            "rows_event": None,
+            "query": None,
+            "n_images": 0,
+        }
+        if etype == QUERY_EVENT:
+            if len(body) > 2 * SQL_MAX_LEN:
+                ev["kind"] = "QUERY_OVERSIZED"  # skipped, census-visible
+                out.append(ev)
+                pos += el
+                continue
+            thread_id, exec_s, dbl, err, sbl = struct.unpack_from("<IIBHH", body, 0)
+            p = 13 + sbl
+            db = body[p: p + dbl].decode()
+            p += dbl + 1  # + NUL
+            sql = body[p:].decode()
+            ev["query"] = sql
+            if sql.startswith("BEGIN"):
+                ev["kind"] = "QUERY_BEGIN"
+                in_tran = True
+            elif sql.startswith("COMMIT"):
+                ev["kind"] = "QUERY_COMMIT"
+                in_tran = False
+                flush_tx(None)
+            else:
+                ev["kind"] = "QUERY_DDL"
+                ev["op"] = "DDL"
+                ev["table"] = f"{db}.pages" if db else None
+                out.append(ev)
+                pos += el
+                continue
+            out.append(ev)
+        elif etype == INTVAR_EVENT:
+            subtype = body[0]
+            if subtype == 2:  # INSERT_ID
+                ev["query"] = str(struct.unpack_from("<Q", body, 1)[0])
+            ev["op"] = "INTVAR"
+            out.append(ev)
+        elif etype == XID_EVENT:
+            (txid,) = struct.unpack_from("<Q", body, 0)
+            ev["tx_id"] = txid
+            in_tran = False
+            flush_tx(txid)
+            out.append(ev)
+        elif etype == TABLE_MAP_EVENT:
+            p = 8  # table id + reserved
+            dbl = body[p]
+            p += 1
+            db = body[p: p + dbl].decode()
+            p += dbl + 1
+            tbl = body[p]
+            p += 1
+            tb = body[p: p + tbl].decode()
+            p += tbl + 1
+            rest = body[p:]  # packed cn | types | packed ml | meta
+            from .decoder import decode_packed_int
+
+            cn, q = decode_packed_int(rest, 0)
+            types = bytes(rest[q: q + cn])
+            q += cn
+            ml, q2 = decode_packed_int(rest, q)
+            meta = bytes(rest[q2: q2 + ml])
+            name = f"{db}.{tb}"
+            prepend = (
+                struct.pack("<I", cn) + types + struct.pack("<I", ml) + meta
+            )
+            tmap = (name, prepend)
+            filtered = tables is not None and name not in tables
+            ev["table"] = name
+            out.append(ev)
+        elif etype in _ROWS_OP:
+            if filtered or tmap is None:
+                ev["kind"] += "_SKIPPED"
+                out.append(ev)
+                pos += el
+                continue
+            name, prepend = tmap
+            blob = prepend + body
+            ev["op"] = _ROWS_OP[etype]
+            ev["table"] = name
+            ev["rows_event"] = blob
+            if in_tran:
+                tx_buffer.append(ev)
+            else:
+                out.append(ev)
+        elif etype in (ROTATE_EVENT, STOP_EVENT):
+            if expected_server_id is not None and svrid != expected_server_id:
+                ev["kind"] += "_FOREIGN_SKIPPED"  # rs_parse_binlog.c:468-491
+                out.append(ev)
+                pos += el
+                continue
+            if etype == ROTATE_EVENT:
+                ev["query"] = body[8:].decode()  # next file name
+            flush_tx(None)  # nothing should be pending on a clean rotation
+            out.append(ev)
+        else:
+            out.append(ev)  # FDE / unknown: skip handler (census-visible)
+        pos += el
+    flush_tx(None)
+    return out
+
+
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("log_pos", T.LongType(), True),
+        T.StructField("file_seq", T.IntegerType(), True),
+        T.StructField("server_id", T.IntegerType(), True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("tx_id", T.LongType(), True),
+        T.StructField("rows_event", T.BinaryType(), True),
+        T.StructField("query", T.StringType(), True),
+    ]
+)
+
+CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("file_seq", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("n_images", T.LongType(), False),
+        T.StructField("url_hash_sum", T.LongType(), False),
+        T.StructField("ts_us_sum", T.LongType(), False),
+    ]
+)
+
+
+def _binary_files(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.format("binaryFile")
+        .load(os.path.join(path, "mysql-bin.*"))
+        .where(~F.col("path").endswith(".index"))
+        .select("path", "content")
+    )
+
+
+def _file_seq_of(path: str) -> int:
+    m = _BIN_FILE_RE.search(path)
+    if not m:
+        raise ValueError(f"not a binlog file: {path}")
+    return int(m.group(1))
+
+
+def read_binlog_files(
+    spark: SparkSession,
+    path: str,
+    tables: tuple[str, ...] | None = None,
+    expected_server_id: int | None = None,
+) -> DataFrame:
+    """Raw binlog FILE bytes → the engine's wire envelope (same schema the
+    wire parquet log uses): feed ``decode_wire_events`` / the streaming
+    runner unchanged. One Spark task per file (binaryFile source); the
+    filter/guard decisions run inside the scan, so filtered tables' row
+    events never leave the scanner."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                seq = _file_seq_of(path_)
+                for ev in scan_binlog_bytes(
+                    bytes(content), seq, tables, expected_server_id
+                ):
+                    if ev["op"] in ("I", "U", "D", "DDL"):
+                        rows.append(
+                            [ev["log_pos"], ev["file_seq"], ev["server_id"],
+                             ev["op"], ev["table"], ev["tx_id"],
+                             ev["rows_event"], ev["query"]]
+                        )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in ENVELOPE_SCHEMA.fields]
+                )
+
+    return _binary_files(spark, path).mapInPandas(mapper, schema=ENVELOPE_SCHEMA)
+
+
+def binlog_census(
+    spark: SparkSession,
+    path: str,
+    table_def: MySQLTableDef | None = None,
+) -> DataFrame:
+    """Typed event census per (file_seq, kind): event counts plus — for
+    rows events — decoded image counts and engine-portable value
+    checksums (md5-derived url hash, warc_ts microsecond sum), proving
+    the full byte path file → header walk → TABLE_MAP framing → row-image
+    decode against a SQL oracle over the ORIGINAL typed log."""
+    import hashlib
+
+    td = table_def or PAGES_WIRE_TABLE
+
+    def url_hash(u: str | None) -> int:
+        if u is None:
+            return 0
+        return int(hashlib.md5(u.encode()).hexdigest()[:8], 16)
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            agg: dict[tuple[int, str], list[int]] = {}
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                seq = _file_seq_of(path_)
+                for ev in scan_binlog_bytes(bytes(content), seq):
+                    k = (seq, ev["kind"])
+                    a = agg.setdefault(k, [0, 0, 0, 0])
+                    a[0] += 1
+                    if ev["rows_event"] is not None:
+                        et = {"I": "write", "U": "update", "D": "delete"}[ev["op"]]
+                        images = td.decode_rows_event(ev["rows_event"], et)
+                        a[1] += len(images)
+                        for img in images:
+                            u = img.get("after_url") if et == "update" else img.get("url")
+                            us = (
+                                img.get("after_warc_ts_us")
+                                if et == "update"
+                                else img.get("warc_ts_us")
+                            )
+                            a[2] += url_hash(u)
+                            a[3] += int(us or 0)
+            if agg:
+                yield pd.DataFrame(
+                    [[fs, kind, *vals] for (fs, kind), vals in sorted(agg.items())],
+                    columns=[f.name for f in CENSUS_SCHEMA.fields],
+                )
+
+    # one partial row-set per file partition; the final groupBy folds them
+    from pyspark.sql import functions as F
+
+    raw = _binary_files(spark, path).mapInPandas(mapper, schema=CENSUS_SCHEMA)
+    return (
+        raw.groupBy("file_seq", "kind")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("n_images").alias("n_images"),
+            F.sum("url_hash_sum").alias("url_hash_sum"),
+            F.sum("ts_us_sum").alias("ts_us_sum"),
+        )
+    )
