@@ -1506,11 +1506,19 @@ def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_image_bytes,
     )
 
-    rows = [(i, make_image_bytes(i, w=32 + (i % 4) * 8, h=24, c=3)) for i in range(200)]
+    # MIXED real formats: every third image is a baseline JPEG (our own
+    # numpy Huffman+DCT codec), the rest PNG — one meta pass over both
+    rows = [
+        (i, make_image_bytes(
+            i, w=32 + (i % 4) * 8, h=24, c=3,
+            fmt="jpeg" if i % 3 == 0 else "png",
+        ))
+        for i in range(200)
+    ]
     df = spark.createDataFrame(rows, "media_id long, media binary")
-    # width/height/channels are pure functions of i, so the REAL-PNG IHDR
-    # decode is oracle-checkable; n_bytes (compressed size) is not
-    # SQL-reconstructable and is covered by pytest instead
+    # width/height/channels are pure functions of i, so the REAL PNG-IHDR
+    # and JPEG-SOF decodes are oracle-checkable; n_bytes (compressed size)
+    # is not SQL-reconstructable and is covered by pytest instead
     return decode_image_meta(df).select("media_id", "width", "height", "channels")
 
 

@@ -10,12 +10,14 @@ pixel inflate; full decode with all five scanline filters). The legacy
 synthetic ``IMG1`` raster remains accepted for old inputs. **Audio is
 REAL WAV** (round 3): RIFF/WAVE PCM16 encoded and chunk-walked by
 ``encode_wav``/``parse_wav`` (pure struct, tolerates extra LIST/fact
-chunks); the legacy ``PCM1`` frame stays accepted. **JPEG and WebP
-metadata probes are REAL** (round 3): ``jpeg_meta`` walks T.81 marker
-segments to the SOF frame header, ``webp_meta`` walks RIFF chunks to
-VP8/VP8L/VP8X — real camera/web files yield (width, height, channels)
-without any codec lib; their PIXEL decode stays gated behind PIL
-(entropy/DCT decode needs a codec). **Video is a REAL AVI container**
+chunks); the legacy ``PCM1`` frame stays accepted. **JPEG is REAL
+end-to-end** (round 4): ``jpeg_meta`` walks T.81 marker segments to the
+SOF frame header, and ``jpeg_codec.py`` is a pure-numpy baseline
+Huffman+DCT codec — encode (4:4:4, Annex K tables) AND pixel decode
+(any-table baseline, chroma subsampling, restart markers); progressive
+raises. **WebP metadata probe is REAL** (round 3): ``webp_meta`` walks
+RIFF chunks to VP8/VP8L/VP8X; WebP PIXEL decode stays gated behind PIL
+(VP8 arithmetic coding needs a codec lib). **Video is a REAL AVI container**
 (round 3): RIFF 'AVI ' with uncompressed BGR24 DIB frames
 (``avi_codec.py`` — hdrl/strl headers, movi '00db' chunks, idx1 index;
 any player opens it); compressed codecs (MJPEG/H.264) stay out of scope
@@ -54,13 +56,23 @@ except ImportError:
 # ---------------------------------------------------------------------------
 
 
-def make_image_bytes(media_id: int, w: int = 32, h: int = 24, c: int = 3) -> bytes:
-    """Deterministic REAL PNG (numpy+zlib codec, png_codec.py)."""
-    from .png_codec import encode_png
-
+def make_image_bytes(
+    media_id: int, w: int = 32, h: int = 24, c: int = 3, fmt: str = "png"
+) -> bytes:
+    """Deterministic REAL image bytes: PNG (numpy+zlib codec,
+    png_codec.py) or baseline JPEG (numpy Huffman+DCT codec,
+    jpeg_codec.py)."""
     rng = np.random.default_rng(media_id)
     img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
-    return encode_png(img)
+    if fmt == "png":
+        from .png_codec import encode_png
+
+        return encode_png(img)
+    if fmt == "jpeg":
+        from .jpeg_codec import encode_jpeg
+
+        return encode_jpeg(img if c != 1 else img[:, :, 0], quality=90)
+    raise ValueError(f"unknown fixture format {fmt!r}")
 
 
 def encode_wav(samples: np.ndarray, sr: int, n_channels: int = 1) -> bytes:
@@ -229,13 +241,17 @@ def _decode_image_pixels(b: bytes) -> np.ndarray:
     if b[:4] == b"IMG1":
         w, h, c = struct.unpack_from("<HHB", b, 4)
         return np.frombuffer(b, np.uint8, w * h * c, offset=9).reshape(h, w, c)
-    if b[:2] == b"\xff\xd8" or (b[:4] == b"RIFF" and b[8:12] == b"WEBP"):
+    if b[:2] == b"\xff\xd8":  # real JPEG — pure-numpy baseline decoder
+        from .jpeg_codec import decode_jpeg
+
+        return decode_jpeg(b)  # raises NotImplementedError for progressive
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         if HAVE_PIL:  # pragma: no cover — real decode when a codec lib exists
             import io
 
             return np.asarray(_pil.open(io.BytesIO(b)))
         raise NotImplementedError(
-            "JPEG/WebP pixel decode needs a codec lib (PIL absent in this "
+            "WebP pixel decode needs a codec lib (PIL absent in this "
             "container); the metadata probe works without it"
         )
     raise ValueError("unknown image format (PNG/JPEG/WebP/IMG1 supported)")
