@@ -53,6 +53,7 @@ HEADLINE = [
     "doc_pack_sequences",
     "doc_dup_span_stats",
     "doc_bm25_topk",
+    "doc_corpus_ingest",
 ]
 
 
@@ -285,8 +286,34 @@ def main() -> None:
             spark.read.parquet(f"{sf}/documents.parquet"), budget=2048
         )
 
+    def _q_corpus_ingest(spark, sf):
+        """Streamed dedup-gated corpus ingest (incremental MinHash band
+        index): 3 batches through CorpusTable.apply_batch — the
+        100 TB streaming-corpus shape gets wall-time tracking."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from mysql_syncer_spark.sink.corpus_table import CorpusTable
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        path = tempfile.mkdtemp(prefix="bench_corpus_") + "/corpus"
+        # verify_jaccard: candidates confirmed by exact Jaccard before
+        # rejection (the production gate; banding alone over-rejects the
+        # heavily templated synthetic docs)
+        t = CorpusTable.create(spark, path, k=8, bands=4, verify_jaccard=0.8)
+        for i in range(3):
+            t.apply_batch(f"b{i}", docs.filter(F.pmod("doc_id", F.lit(3)) == i))
+        return t.read().groupBy().agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+
     qs["doc_unigram_nll"] = _q_unigram_nll
     qs["doc_pack_sequences"] = _q_corpus_pack
+    qs["doc_corpus_ingest"] = _q_corpus_ingest
     query_secs: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
