@@ -209,3 +209,61 @@ def test_adaptive_planner_skips_probe_between_edges(spark, tmp_path):
     urls = {r["url"] for r in t.read().collect()}
     assert "https://hot.example.com/" in urls
     assert len(urls) == 3 * 300 + 2 * 150 + 1
+
+
+def test_iceberg_apply_batch_executes_when_available(spark):
+    """EXECUTES apply_batch_iceberg (CREATE → two MERGE batches with an
+    out-of-order older event → DDL) when the jars are on the classpath;
+    skipped in-sandbox (no network for --packages). The same flow runs
+    standalone via tools/submit_iceberg_smoke.py under spark-submit."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from mysql_syncer_spark.sink.iceberg_table import build_create_sql
+
+    if not iceberg_available(spark):
+        _pytest.skip(
+            "Iceberg jars absent in-sandbox — run tools/submit_iceberg_smoke.py "
+            "under spark-submit with iceberg-spark-runtime"
+        )
+    schema_sql = (
+        "log_pos long, file_seq int, server_id int, op string, table string,"
+        " tx_id long,"
+        " before struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>,"
+        " after struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>,"
+        " ddl struct<kind:string,col:string,new_name:string,dtype:string>"
+    )
+    ident = "lake.smoke.pages_pytest"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.smoke")
+    spark.sql(f"DROP TABLE IF EXISTS {ident}")
+    schema = [["url", "string"], ["warc_ts", "timestamp"], ["html", "binary"],
+              ["text", "string"], ["lang", "string"]]
+    spark.sql(build_create_sql(ident, schema, num_buckets=4))
+    ts = lambda h: dt.datetime(2024, 1, 1, h, tzinfo=dt.timezone.utc)
+    row = lambda pos, fs, url, t, txt: (
+        pos, fs, 1, "I", "web.pages", 1, None, (url, t, None, txt, "en"), None,
+    )
+    cfg = TableConfig(name="web.pages")
+    mapping = {c: c for c, _ in schema}
+    apply_batch_iceberg(
+        spark,
+        ident,
+        spark.createDataFrame(
+            [row(1, 0, "u1", ts(5), "v1"), row(2, 0, "u2", ts(5), "w1")],
+            schema_sql,
+        ),
+        cfg, mapping,
+    )
+    apply_batch_iceberg(
+        spark,
+        ident,
+        spark.createDataFrame(
+            [row(10, 1, "u1", ts(9), "v2"), row(11, 1, "u2", ts(1), "stale")],
+            schema_sql,
+        ),
+        cfg, mapping,
+    )
+    got = {r["url"]: r["text"] for r in
+           spark.sql(f"SELECT url, text FROM {ident} WHERE NOT _deleted").collect()}
+    assert got == {"u1": "v2", "u2": "w1"}
