@@ -39,12 +39,17 @@ def start_streaming_replay(
     available_now: bool = True,
     processing_time: str = "1 second",
     transform=None,
+    source=None,
 ) -> StreamingQuery:
     """Start (or resume from checkpoint) the streaming replay query.
 
     ``transform`` (DataFrame -> DataFrame, optional) runs on the source
     stream before the sink — e.g. ``sources.wire_log.decode_wire_events``
-    to tail a wire-format log of real ROWS_EVENT blobs."""
+    to tail a wire-format log of real ROWS_EVENT blobs.
+
+    ``source`` (streaming DataFrame, optional) replaces the typed
+    event-log source — e.g. ``sources.binlog_file.stream_binlog_files``
+    to tail RAW binlog file bytes (``event_dir`` is then ignored)."""
     if cfg is None:
         from ..plans.replay import default_pages_config
 
@@ -80,7 +85,11 @@ def start_streaming_replay(
                 planner["salted"] = bool(res.get("salted_merge"))
             planner["latest"] = res.get("dup_share")
 
-    stream = stream_event_log(spark, event_dir, max_files_per_trigger)
+    stream = (
+        source
+        if source is not None
+        else stream_event_log(spark, event_dir, max_files_per_trigger)
+    )
     if transform is not None:
         stream = transform(stream)
     writer = (
@@ -105,6 +114,7 @@ def run_streaming_replay(
     max_files_per_trigger: int = 1,
     timeout_sec: float | None = None,
     transform=None,
+    source=None,
 ) -> dict:
     """Bounded replay: process everything available, then stop."""
     q = start_streaming_replay(
@@ -117,6 +127,7 @@ def run_streaming_replay(
         max_files_per_trigger,
         available_now=True,
         transform=transform,
+        source=source,
     )
     q.awaitTermination(timeout_sec)
     if q.isActive:
