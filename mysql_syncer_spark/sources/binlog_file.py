@@ -178,6 +178,15 @@ def encode_binlog_files(
         open_tx = None
         for ev in by_file[seq]:
             op = ev["op"]
+            if op == "INTVAR":
+                # 1B subtype (2 = INSERT_ID) | 8B id — rs_parse_binlog.c:
+                # 189-224; emitted in-band so file adjacency INTVAR→INSERT
+                # is preserved (attribution is one-event, operators/intvar)
+                emit(
+                    INTVAR_EVENT,
+                    bytes([2]) + struct.pack("<Q", int(ev["intvar"])),
+                )
+                continue
             if op == "DDL":
                 if open_tx is not None:  # DDL implicitly commits
                     emit(XID_EVENT, struct.pack("<Q", open_tx))
@@ -420,7 +429,9 @@ def _file_seq_of(path: str) -> int:
     return int(m.group(1))
 
 
-def _envelope_mapper(tables, expected_server_id):
+def _envelope_mapper(tables, expected_server_id, include_intvar=False):
+    ops = ("I", "U", "D", "DDL") + (("INTVAR",) if include_intvar else ())
+
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -429,7 +440,7 @@ def _envelope_mapper(tables, expected_server_id):
                 for ev in scan_binlog_bytes(
                     bytes(content), seq, tables, expected_server_id
                 ):
-                    if ev["op"] in ("I", "U", "D", "DDL"):
+                    if ev["op"] in ops:
                         rows.append(
                             [ev["log_pos"], ev["file_seq"], ev["server_id"],
                              ev["op"], ev["table"], ev["tx_id"],
@@ -448,14 +459,37 @@ def read_binlog_files(
     path: str,
     tables: tuple[str, ...] | None = None,
     expected_server_id: int | None = None,
+    include_intvar: bool = False,
 ) -> DataFrame:
     """Raw binlog FILE bytes → the engine's wire envelope (same schema the
     wire parquet log uses): feed ``decode_wire_events`` / the streaming
     runner unchanged. One Spark task per file (binaryFile source); the
     filter/guard decisions run inside the scan, so filtered tables' row
-    events never leave the scanner."""
+    events never leave the scanner. ``include_intvar=True`` additionally
+    passes INTVAR events through (op='INTVAR', insert id in ``query``) for
+    auto-increment attribution — see ``envelope_intvar_view``."""
     return _binary_files(spark, path).mapInPandas(
-        _envelope_mapper(tables, expected_server_id), schema=ENVELOPE_SCHEMA
+        _envelope_mapper(tables, expected_server_id, include_intvar),
+        schema=ENVELOPE_SCHEMA,
+    )
+
+
+def envelope_intvar_view(env: DataFrame) -> DataFrame:
+    """Project a wire envelope (read with ``include_intvar=True``) into the
+    shape ``operators.intvar.with_auto_increment`` consumes: the INSERT_ID
+    value decoded by the scanner rides the ``query`` column as a decimal
+    string (ENVELOPE_SCHEMA carries no dedicated numeric slot for a
+    control event — deliberate: the envelope is the reference's wire
+    framing, rs_parse_binlog.c:189-224 latches the id out-of-band too)."""
+    from pyspark.sql import functions as F
+
+    return env.select(
+        "log_pos",
+        "file_seq",
+        "op",
+        F.when(F.col("op") == "INTVAR", F.col("query").cast("long")).alias(
+            "intvar"
+        ),
     )
 
 

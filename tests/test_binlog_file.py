@@ -216,6 +216,57 @@ def test_truncated_file_raises():
         scan_binlog_bytes(b"nope" + good[4:], 0)
 
 
+def test_intvar_roundtrip_through_file_bytes(spark):
+    """P7 at the byte level: INTVAR events ride the encoder (1B subtype |
+    8B id, rs_parse_binlog.c:189-224), survive the scan, pass through the
+    envelope with include_intvar=True, and attribute to exactly the next
+    INSERT via operators.intvar.with_auto_increment."""
+    import pyarrow as pa
+
+    from mysql_syncer_spark.generator import EVENT_ARROW
+    from mysql_syncer_spark.operators.intvar import with_auto_increment
+    from mysql_syncer_spark.sources.binlog_file import envelope_intvar_view
+
+    base = generate_events(GenSpec(n_events=60, events_per_file=60)).to_pylist()
+    evs, want_ids = [], []
+    n_iv = 0
+    for e in base:
+        if e["op"] == "I" and n_iv < 3:
+            iv = 5000 + n_iv
+            evs.append(
+                {
+                    "log_pos": e["log_pos"],
+                    "file_seq": e["file_seq"],
+                    "server_id": e["server_id"],
+                    "op": "INTVAR",
+                    "intvar": iv,
+                }
+            )
+            want_ids.append(iv)
+            n_iv += 1
+        evs.append(e)
+    assert n_iv == 3
+    schema = pa.schema(list(EVENT_ARROW) + [pa.field("intvar", pa.int64())])
+    tbl = pa.Table.from_pylist(evs, schema=schema)
+    d = tempfile.mkdtemp(prefix="binfile_iv_")
+    encode_binlog_files(tbl, d)
+
+    env = read_binlog_files(spark, d, include_intvar=True)
+    attributed = (
+        with_auto_increment(envelope_intvar_view(env))
+        .orderBy("log_pos")
+        .collect()
+    )
+    got = [r["auto_increment_id"] for r in attributed if r["op"] == "I"]
+    assert [g for g in got if g is not None] == want_ids
+    # the id applies to the NEXT insert only; everything else stays null
+    assert all(
+        r["auto_increment_id"] is None for r in attributed if r["op"] != "I"
+    )
+    # default envelope (no flag) keeps the wire surface unchanged
+    assert read_binlog_files(spark, d).filter("op = 'INTVAR'").count() == 0
+
+
 def test_streaming_tail_from_raw_file_bytes(spark, typed_table, bin_dir):
     """LIVE byte-level tail: the streaming binaryFile source picks up
     rotated mysql-bin files incrementally; a checkpointed second run
