@@ -1,13 +1,20 @@
 """Pure-struct AVI container codec (RIFF 'AVI ': hdrl/avih/strl/strh/strf +
-movi '00db' frames + idx1) with uncompressed 24-bit DIB frames — a REAL
-format: any media player / ffprobe opens the output. No video libs needed,
-same approach as the PNG (png_codec.py) and WAV (multimodal.encode_wav)
-codecs.
+movi frames + idx1) — a REAL format: any media player / ffprobe opens the
+output. No video libs needed, same approach as the PNG (png_codec.py) and
+WAV (multimodal.encode_wav) codecs.
 
-Grayscale frames are stored as BGR24 with the gray value replicated across
-channels; DIB rows are bottom-up and padded to 4-byte strides per the
-BITMAPINFOHEADER spec. Compressed codecs (MJPEG/H.264) stay out of scope —
-entropy decode needs a codec lib; the CONTAINER layer here is complete.
+Two codecs:
+- ``DIB`` (default): uncompressed 24-bit frames in '00db' chunks.
+  Grayscale is stored as BGR24 with the gray value replicated; DIB rows
+  are bottom-up and padded to 4-byte strides per the BITMAPINFOHEADER
+  spec.
+- ``MJPG``: Motion-JPEG — each frame is an independent baseline JPEG
+  stream (jpeg_codec.py, pure numpy) in a '00dc' chunk, biCompression =
+  'MJPG'. This is the dominant COMPRESSED intra-frame AVI codec (webcams,
+  capture cards); inter-frame codecs (H.264/VP9) stay out of scope.
+
+Decode auto-detects per chunk (JPEG SOI vs raw DIB), so mixed inputs and
+either codec parse through the same walk / seek-table path.
 """
 
 from __future__ import annotations
@@ -26,18 +33,39 @@ def _list(list_type: bytes, body: bytes) -> bytes:
     return _chunk(b"LIST", list_type + body)
 
 
-def encode_avi(frames: np.ndarray, fps: int) -> bytes:
-    """frames: (n, h, w) uint8 grayscale → AVI bytes (BGR24 DIB)."""
+def encode_avi(
+    frames: np.ndarray, fps: int, codec: str = "DIB", quality: int = 90
+) -> bytes:
+    """frames: (n, h, w) uint8 grayscale → AVI bytes. ``codec``: ``"DIB"``
+    (uncompressed BGR24, '00db' chunks) or ``"MJPG"`` (per-frame baseline
+    JPEG at ``quality``, '00dc' chunks)."""
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"unsupported AVI codec {codec!r}")
+    mjpg = codec == "MJPG"
     frames = np.asarray(frames, dtype=np.uint8)
     n, h, w = frames.shape
     stride = (w * 3 + 3) & ~3
-    frame_size = stride * h
 
-    def dib(frame: np.ndarray) -> bytes:
-        bgr = np.repeat(frame[::-1, :, None], 3, axis=2)  # bottom-up, gray→BGR
-        row = np.zeros((h, stride), dtype=np.uint8)
-        row[:, : w * 3] = bgr.reshape(h, w * 3)
-        return row.tobytes()
+    if mjpg:
+        from .jpeg_codec import encode_jpeg
+
+        bodies = [encode_jpeg(frames[i], quality) for i in range(n)]
+    else:
+
+        def dib(frame: np.ndarray) -> bytes:
+            # bottom-up, gray→BGR
+            bgr = np.repeat(frame[::-1, :, None], 3, axis=2)
+            row = np.zeros((h, stride), dtype=np.uint8)
+            row[:, : w * 3] = bgr.reshape(h, w * 3)
+            return row.tobytes()
+
+        bodies = [dib(frames[i]) for i in range(n)]
+    frame_size = max((len(x) for x in bodies), default=stride * h)
+    chunk_id = b"00dc" if mjpg else b"00db"
+    # strh fccHandler + strf biCompression both carry the codec fourcc
+    # (biCompression 0 == BI_RGB == raw DIB)
+    handler = b"MJPG" if mjpg else b"DIB "
+    bi_compression = struct.unpack("<I", b"MJPG")[0] if mjpg else 0
 
     avih = _chunk(
         b"avih",
@@ -55,31 +83,51 @@ def encode_avi(frames: np.ndarray, fps: int) -> bytes:
     )
     strh = _chunk(
         b"strh",
-        b"vids" + b"DIB "
+        b"vids" + handler
         + struct.pack("<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, n,
                       frame_size, 0, 0, 0, 0, w, h),
     )
     strf = _chunk(
         b"strf",
-        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0),
+        struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, bi_compression, frame_size,
+            0, 0, 0, 0,
+        ),
     )
     hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf))
 
     movi_body = b""
     offsets = []
-    for i in range(n):
+    for body in bodies:
         offsets.append(len(movi_body) + 4)  # offset from the 'movi' fourcc
-        movi_body += _chunk(b"00db", dib(frames[i]))
+        movi_body += _chunk(chunk_id, body)
     movi = _list(b"movi", movi_body)
     idx1 = _chunk(
         b"idx1",
         b"".join(
-            b"00db" + struct.pack("<III", 0x10, off, frame_size)
-            for off in offsets
+            chunk_id + struct.pack("<III", 0x10, off, len(body))
+            for off, body in zip(offsets, bodies)
         ),
     )
     riff_body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _decode_frame_body(
+    b: bytes, body: int, clen: int, w: int, h: int
+) -> np.ndarray:
+    """One movi chunk body → (h, w) uint8 grayscale. Dispatch on content:
+    JPEG SOI → jpeg_codec (MJPG; luma plane of a color frame), else raw
+    bottom-up BGR24 DIB (B channel)."""
+    if b[body : body + 2] == b"\xff\xd8":
+        from .jpeg_codec import decode_jpeg
+
+        px = decode_jpeg(b[body : body + clen])
+        return px if px.ndim == 2 else px[..., 0].copy()
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(b, np.uint8, stride * h, offset=body)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, 0].copy()  # un-flip, B channel
 
 
 def parse_avi(b: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -107,10 +155,7 @@ def parse_avi(b: bytes) -> tuple[int, int, int, np.ndarray]:
                 scale, rate = struct.unpack_from("<II", b, body + 20)
                 fps = rate // max(scale, 1)
             elif cid in (b"00db", b"00dc") and w and h:
-                stride = (w * 3 + 3) & ~3
-                raw = np.frombuffer(b, np.uint8, stride * h, offset=body)
-                rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-                frames.append(rows[::-1, :, 0].copy())  # un-flip, B channel
+                frames.append(_decode_frame_body(b, body, clen, w, h))
             pos = body + clen + (clen & 1)
 
     walk(12, 8 + struct.unpack_from("<I", b, 4)[0])
@@ -163,8 +208,8 @@ def parse_avi_meta_and_offsets(b: bytes) -> tuple[int, int, int, list[int]]:
 
 
 def read_frame_at(b: bytes, w: int, h: int, data_off: int) -> np.ndarray:
-    """Decode ONE BGR24 DIB frame whose data starts at ``data_off``."""
-    stride = (w * 3 + 3) & ~3
-    raw = np.frombuffer(b, np.uint8, stride * h, offset=data_off)
-    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-    return rows[::-1, :, 0].copy()
+    """Decode ONE frame whose chunk data starts at ``data_off`` (DIB or
+    MJPG, auto-detected; the chunk length sits in the 4 bytes preceding
+    the data, per the RIFF chunk header the seek table pointed past)."""
+    (clen,) = struct.unpack_from("<I", b, data_off - 4)
+    return _decode_frame_body(b, data_off, clen, w, h)

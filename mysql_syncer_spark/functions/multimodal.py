@@ -18,18 +18,21 @@ Huffman+DCT codec — encode (4:4:4, Annex K tables) AND pixel decode
 raises. **WebP metadata probe is REAL** (round 3): ``webp_meta`` walks
 RIFF chunks to VP8/VP8L/VP8X; WebP PIXEL decode stays gated behind PIL
 (VP8 arithmetic coding needs a codec lib). **Video is a REAL AVI container**
-(round 3): RIFF 'AVI ' with uncompressed BGR24 DIB frames
-(``avi_codec.py`` — hdrl/strl headers, movi '00db' chunks, idx1 index;
-any player opens it); compressed codecs (MJPEG/H.264) stay out of scope
-without a codec lib. The legacy ``VID1`` frame stays accepted.
+(round 3): RIFF 'AVI ' (``avi_codec.py`` — hdrl/strl headers, movi
+chunks, idx1 index; any player opens it) with uncompressed BGR24 DIB
+frames or, since round 4, **MJPG** — per-frame baseline JPEG via the
+pure-numpy ``jpeg_codec`` (chunk-level auto-detect on decode).
+Inter-frame codecs (H.264/VP9) stay out of scope without a codec lib.
+The legacy ``VID1`` frame stays accepted.
 
 Wire formats:
   image: PNG (RFC 2083 subset: 8-bit gray/RGB/RGBA); JPEG + WebP
          metadata probes; or legacy b"IMG1" + u16 w + u16 h +
          u8 channels + w*h*c payload bytes
   audio: RIFF/WAVE PCM16 mono, or legacy b"PCM1" + u32 sr + s16le samples
-  video: RIFF/AVI uncompressed DIB (avi_codec.py), or legacy b"VID1" +
-         u16 w + u16 h + u8 fps + u16 n_frames + w*h-byte gray frames
+  video: RIFF/AVI, uncompressed DIB or MJPG (avi_codec.py), or legacy
+         b"VID1" + u16 w + u16 h + u8 fps + u16 n_frames + w*h-byte
+         gray frames
 """
 
 from __future__ import annotations
@@ -129,15 +132,22 @@ def make_audio_bytes(media_id: int, sr: int = 16000, seconds: float = 0.25) -> b
 
 
 def make_video_bytes(
-    media_id: int, w: int = 16, h: int = 12, fps: int = 8, n_frames: int = 24
+    media_id: int,
+    w: int = 16,
+    h: int = 12,
+    fps: int = 8,
+    n_frames: int = 24,
+    codec: str = "DIB",
 ) -> bytes:
-    """Deterministic REAL AVI (RIFF container, uncompressed BGR24 DIB
-    frames — avi_codec.py; any player opens it)."""
+    """Deterministic REAL AVI (RIFF container — avi_codec.py; any player
+    opens it). ``codec="DIB"`` (default, uncompressed — what the oracle
+    can reproduce byte-exactly) or ``"MJPG"`` (per-frame baseline JPEG;
+    lossy, so tests assert tolerance, not byte parity)."""
     from .avi_codec import encode_avi
 
     rng = np.random.default_rng(media_id)
     frames = rng.integers(0, 256, (n_frames, h, w), dtype=np.uint8)
-    return encode_avi(frames, fps)
+    return encode_avi(frames, fps, codec=codec)
 
 
 # ---------------------------------------------------------------------------

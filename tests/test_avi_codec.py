@@ -84,3 +84,64 @@ def test_seek_table_matches_full_decode():
     assert (w, h, fps, len(offs)) == (16, 12, 8, 24)
     for i in range(0, 24, 4):
         assert np.array_equal(read_frame_at(b, w, h, offs[i]), frames[i]), i
+
+def _gradient_frames(n: int, h: int = 24, w: int = 32) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [((yy * 4 + xx * 3 + 10 * i) % 200 + 20).astype(np.uint8)
+         for i in range(n)]
+    )
+
+
+def test_mjpg_roundtrip_within_tolerance():
+    """MJPG codec: each '00dc' chunk is an independent baseline JPEG
+    (jpeg_codec); lossy, so assert tolerance + structure, not byte
+    parity. Seek-table single-frame decode must equal the full walk."""
+    frames = _gradient_frames(6)
+    b = encode_avi(frames, fps=8, codec="MJPG", quality=95)
+    # container structure: MJPG fourcc in strh+strf, '00dc' chunks
+    assert b.count(b"MJPG") == 2
+    assert b.count(b"00dc") == 6 + 6 and b"00db" not in b
+    # compressed: gradient frames shrink well below raw DIB size
+    assert len(b) < len(encode_avi(frames, fps=8)) // 2
+    w, h, fps, got = parse_avi(b)
+    assert (w, h, fps) == (32, 24, 8) and got.shape == frames.shape
+    err = np.abs(got.astype(int) - frames.astype(int))
+    assert err.mean() < 1.0 and err.max() <= 10
+
+    from mysql_syncer_spark.functions.avi_codec import (
+        parse_avi_meta_and_offsets,
+        read_frame_at,
+    )
+
+    w2, h2, _fps, offs = parse_avi_meta_and_offsets(b)
+    assert (w2, h2, len(offs)) == (32, 24, 6)
+    for i in (0, 3, 5):
+        assert np.array_equal(read_frame_at(b, w2, h2, offs[i]), got[i]), i
+
+
+def test_unknown_codec_rejected():
+    with pytest.raises(ValueError):
+        encode_avi(np.zeros((1, 4, 4), np.uint8), fps=2, codec="H264")
+
+
+def test_spark_frame_sampling_over_mjpg_avi(spark):
+    """The Spark sampling operator is codec-agnostic: read_frame_at
+    auto-detects JPEG chunk bodies, so an MJPG AVI flows through the same
+    mapInPandas path and yields full-size decoded grayscale frames."""
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.functions.multimodal import (
+        make_video_bytes,
+        sample_video_frames,
+    )
+
+    rows = [(i, make_video_bytes(i, codec="MJPG")) for i in range(4)]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = sample_video_frames(df, every_n=8).select(
+        "media_id", "frame_idx", F.length("frame").alias("n")
+    )
+    got = out.collect()
+    assert len(got) == 4 * 3  # 24 frames, every 8th
+    assert all(r["n"] == 16 * 12 for r in got)
+    assert {r["frame_idx"] for r in got} == {0, 8, 16}
