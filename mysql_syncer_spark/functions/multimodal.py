@@ -26,9 +26,9 @@ Inter-frame codecs (H.264/VP9) stay out of scope without a codec lib.
 The legacy ``VID1`` frame stays accepted.
 
 Wire formats:
-  image: PNG (RFC 2083 subset: 8-bit gray/RGB/RGBA); JPEG + WebP
-         metadata probes; or legacy b"IMG1" + u16 w + u16 h +
-         u8 channels + w*h*c payload bytes
+  image: PNG (RFC 2083 subset: 8-bit gray/RGB/RGBA); baseline JPEG;
+         GIF87a/89a (LZW, gif_codec.py); WebP metadata probe; or legacy
+         b"IMG1" + u16 w + u16 h + u8 channels + w*h*c payload bytes
   audio: RIFF/WAVE PCM16 mono, or legacy b"PCM1" + u32 sr + s16le samples
   video: RIFF/AVI, uncompressed DIB or MJPG (avi_codec.py), or legacy
          b"VID1" + u16 w + u16 h + u8 fps + u16 n_frames + w*h-byte
@@ -63,8 +63,9 @@ def make_image_bytes(
     media_id: int, w: int = 32, h: int = 24, c: int = 3, fmt: str = "png"
 ) -> bytes:
     """Deterministic REAL image bytes: PNG (numpy+zlib codec,
-    png_codec.py) or baseline JPEG (numpy Huffman+DCT codec,
-    jpeg_codec.py)."""
+    png_codec.py), baseline JPEG (numpy Huffman+DCT codec,
+    jpeg_codec.py), or GIF (LZW codec, gif_codec.py — grayscale,
+    palette pixels surface as RGB on decode)."""
     rng = np.random.default_rng(media_id)
     img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
     if fmt == "png":
@@ -75,6 +76,10 @@ def make_image_bytes(
         from .jpeg_codec import encode_jpeg
 
         return encode_jpeg(img if c != 1 else img[:, :, 0], quality=90)
+    if fmt == "gif":
+        from .gif_codec import encode_gif
+
+        return encode_gif(img[:, :, 0])
     raise ValueError(f"unknown fixture format {fmt!r}")
 
 
@@ -236,10 +241,17 @@ def _decode_image_header(b: bytes) -> tuple[int, int, int]:
         return jpeg_meta(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":  # real WebP
         return webp_meta(b)
+    if b[:4] == b"GIF8":  # real GIF — block walk, no LZW decode
+        from .gif_codec import gif_meta
+
+        w, h, _n_frames, _gct = gif_meta(b)
+        return w, h, 3  # palette pixels surface as RGB
     if b[:4] == b"IMG1":  # legacy synthetic raster
         w, h, c = struct.unpack_from("<HHB", b, 4)
         return w, h, c
-    raise ValueError("unknown image format (PNG/JPEG/WebP/IMG1 supported)")
+    raise ValueError(
+        "unknown image format (PNG/JPEG/GIF/WebP/IMG1 supported)"
+    )
 
 
 def _decode_image_pixels(b: bytes) -> np.ndarray:
@@ -255,6 +267,10 @@ def _decode_image_pixels(b: bytes) -> np.ndarray:
         from .jpeg_codec import decode_jpeg
 
         return decode_jpeg(b)  # raises NotImplementedError for progressive
+    if b[:4] == b"GIF8":  # real GIF — LZW decode, first frame as RGB
+        from .gif_codec import decode_gif
+
+        return decode_gif(b)[0]
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         if HAVE_PIL:  # pragma: no cover — real decode when a codec lib exists
             import io
@@ -264,7 +280,9 @@ def _decode_image_pixels(b: bytes) -> np.ndarray:
             "WebP pixel decode needs a codec lib (PIL absent in this "
             "container); the metadata probe works without it"
         )
-    raise ValueError("unknown image format (PNG/JPEG/WebP/IMG1 supported)")
+    raise ValueError(
+        "unknown image format (PNG/JPEG/GIF/WebP/IMG1 supported)"
+    )
 
 
 def decode_image_meta(df: DataFrame, bytes_col: str = "media", id_col: str = "media_id") -> DataFrame:
