@@ -73,6 +73,12 @@ TABLE_MAP_EVENT = 19
 WRITE_ROWS_EVENT = 23
 UPDATE_ROWS_EVENT = 24
 DELETE_ROWS_EVENT = 25
+# GTID events (MySQL 5.6+; numerically after the reference's table —
+# the reference predates GTID, so these are documented from the public
+# binlog spec, not a reference file)
+GTID_EVENT = 33
+ANONYMOUS_GTID_EVENT = 34
+PREVIOUS_GTIDS_EVENT = 35
 
 _ROWS_OP = {WRITE_ROWS_EVENT: "I", UPDATE_ROWS_EVENT: "U", DELETE_ROWS_EVENT: "D"}
 _KIND = {
@@ -86,6 +92,9 @@ _KIND = {
     WRITE_ROWS_EVENT: "WRITE_ROWS",
     UPDATE_ROWS_EVENT: "UPDATE_ROWS",
     DELETE_ROWS_EVENT: "DELETE_ROWS",
+    GTID_EVENT: "GTID",
+    ANONYMOUS_GTID_EVENT: "ANONYMOUS_GTID",
+    PREVIOUS_GTIDS_EVENT: "PREVIOUS_GTIDS",
 }
 
 _BIN_FILE_RE = re.compile(r"mysql-bin\.(\d+)$")
@@ -131,12 +140,84 @@ def _rows_body(td: MySQLTableDef, blob: bytes) -> bytes:
     return blob[4 + cn + 4 + ml:]
 
 
+# ---------------------------------------------------------------------------
+# GTID (MySQL 5.6+ global transaction ids — public binlog spec; the C
+# reference is file+pos only, this extends the engine to the modern
+# resume protocol the north-star names: "GTID/log-position ordering")
+# ---------------------------------------------------------------------------
+
+
+def _sid_bytes(uuid_str: str) -> bytes:
+    import uuid as _uuid
+
+    return _uuid.UUID(uuid_str).bytes
+
+
+def _sid_str(b: bytes) -> str:
+    import uuid as _uuid
+
+    return str(_uuid.UUID(bytes=bytes(b)))
+
+
+def encode_gtid_set(gtid_set: dict[str, list[tuple[int, int]]]) -> bytes:
+    """GTID set → the PREVIOUS_GTIDS body encoding: u64 n_sids, then per
+    sid 16B sid | u64 n_intervals | (u64 start, u64 end-EXCLUSIVE) per
+    interval — MySQL's on-disk interval convention."""
+    out = bytearray(struct.pack("<Q", len(gtid_set)))
+    for sid in sorted(gtid_set):
+        ivals = gtid_set[sid]
+        out += _sid_bytes(sid) + struct.pack("<Q", len(ivals))
+        for start, end in ivals:
+            out += struct.pack("<QQ", start, end)
+    return bytes(out)
+
+
+def decode_gtid_set(b: bytes) -> dict[str, list[tuple[int, int]]]:
+    (n_sids,) = struct.unpack_from("<Q", b, 0)
+    pos = 8
+    out: dict[str, list[tuple[int, int]]] = {}
+    for _ in range(n_sids):
+        sid = _sid_str(b[pos : pos + 16])
+        (n_iv,) = struct.unpack_from("<Q", b, pos + 16)
+        pos += 24
+        ivals = []
+        for _ in range(n_iv):
+            start, end = struct.unpack_from("<QQ", b, pos)
+            pos += 16
+            ivals.append((start, end))
+        out[sid] = ivals
+    return out
+
+
+def gtid_set_str(gtid_set: dict[str, list[tuple[int, int]]]) -> str:
+    """Canonical MySQL text form: ``uuid:1-5:8,uuid2:1-3`` (end shown
+    INCLUSIVE, single-gno intervals collapse to one number)."""
+    parts = []
+    for sid in sorted(gtid_set):
+        spans = ":".join(
+            str(s) if e == s + 1 else f"{s}-{e - 1}"
+            for s, e in gtid_set[sid]
+        )
+        parts.append(f"{sid.lower()}:{spans}" if spans else sid.lower())
+    return ",".join(parts)
+
+
+def gtid_in_set(gtid_set: dict[str, list[tuple[int, int]]], gtid: str) -> bool:
+    sid, gno_s = gtid.rsplit(":", 1)
+    gno = int(gno_s)
+    for s, e in gtid_set.get(sid.lower(), []) + gtid_set.get(sid, []):
+        if s <= gno < e:
+            return True
+    return False
+
+
 def encode_binlog_files(
     table,
     out_dir: str,
     table_def: MySQLTableDef | None = None,
     server_id: int = 1,
     table_id: int = 1,
+    gtid_uuid: str | None = None,
 ) -> list[str]:
     """Typed event table (generator.EVENT_ARROW layout, pyarrow) → real
     binlog FILE bytes: ``mysql-bin.NNNNNN`` per file_seq plus a
@@ -147,7 +228,14 @@ def encode_binlog_files(
     one FDE per file; BEGIN before each maximal run of row events sharing
     a tx_id, XID after it (a DDL or file end closes the run — MySQL DDL
     implicitly commits); one TABLE_MAP immediately before EVERY rows
-    event; one ROTATE per non-final file; STOP on the final file."""
+    event; one ROTATE per non-final file; STOP on the final file.
+
+    ``gtid_uuid`` opts into MySQL 5.6+ GTID framing (opt-in so the
+    GTID-less census contract stays byte-stable): a GTID_EVENT with
+    gno 1,2,… in commit order precedes every transaction (and every
+    DDL — its own gno, as in MySQL), and each file opens with a
+    PREVIOUS_GTIDS_EVENT holding the set committed in PRIOR files —
+    the header that makes resume-from-GTID prune at the file level."""
     td = table_def or PAGES_WIRE_TABLE
     os.makedirs(out_dir, exist_ok=True)
     # ARRIVAL order, not log_pos order: a redelivered duplicate carries
@@ -159,6 +247,13 @@ def encode_binlog_files(
         by_file.setdefault(int(ev["file_seq"]), []).append(ev)
     seqs = sorted(by_file)
     paths = []
+    gno = 0  # commit-ordered across the whole log
+
+    def gtid_body(g: int) -> bytes:
+        # 1B commit flag | 16B SID | 8B GNO (5.7 logical timestamps
+        # omitted — optional tail, parsers read the fixed 25B prefix)
+        return bytes([1]) + _sid_bytes(gtid_uuid) + struct.pack("<q", g)
+
     for i, seq in enumerate(seqs):
         buf = bytearray(MAGIC)
         pos = len(buf)
@@ -175,6 +270,9 @@ def encode_binlog_files(
             struct.pack("<H", 4) + b"5.5.0-msss".ljust(50, b"\x00")
             + struct.pack("<I", 0) + bytes([HEADER_LEN]) + bytes(27),
         )
+        if gtid_uuid is not None:
+            prior = {gtid_uuid: [(1, gno + 1)]} if gno else {}
+            emit(PREVIOUS_GTIDS_EVENT, encode_gtid_set(prior))
         open_tx = None
         for ev in by_file[seq]:
             op = ev["op"]
@@ -191,6 +289,9 @@ def encode_binlog_files(
                 if open_tx is not None:  # DDL implicitly commits
                     emit(XID_EVENT, struct.pack("<Q", open_tx))
                     open_tx = None
+                if gtid_uuid is not None:  # DDL takes its own gno
+                    gno += 1
+                    emit(GTID_EVENT, gtid_body(gno))
                 emit(QUERY_EVENT, _query_body("web", ddl_to_query(ev["ddl"])))
                 continue
             if op not in ("I", "U", "D"):
@@ -200,6 +301,9 @@ def encode_binlog_files(
                 emit(XID_EVENT, struct.pack("<Q", open_tx))
                 open_tx = None
             if open_tx is None and tx is not None:
+                if gtid_uuid is not None:
+                    gno += 1
+                    emit(GTID_EVENT, gtid_body(gno))
                 emit(QUERY_EVENT, _query_body("web", "BEGIN"))
                 open_tx = int(tx)
             db, tb = (ev["table"].split(".", 1) + ["t"])[:2]
@@ -263,6 +367,7 @@ def scan_binlog_bytes(
     in_tran = False
     filtered = False  # current TABLE_MAP's filter decision
     tmap: tuple[str, bytes] | None = None  # (db.tb, prepend framing)
+    cur_gtid: str | None = None  # latched by GTID_EVENT, one tx wide
 
     def flush_tx(tx_id: int | None) -> None:
         for r in tx_buffer:
@@ -288,6 +393,7 @@ def scan_binlog_bytes(
             "rows_event": None,
             "query": None,
             "n_images": 0,
+            "gtid": None,
         }
         if etype == QUERY_EVENT:
             if len(body) > 2 * SQL_MAX_LEN:
@@ -303,6 +409,7 @@ def scan_binlog_bytes(
             ev["query"] = sql
             if sql.startswith("BEGIN"):
                 ev["kind"] = "QUERY_BEGIN"
+                ev["gtid"] = cur_gtid
                 in_tran = True
             elif sql.startswith("COMMIT"):
                 ev["kind"] = "QUERY_COMMIT"
@@ -312,6 +419,8 @@ def scan_binlog_bytes(
                 ev["kind"] = "QUERY_DDL"
                 ev["op"] = "DDL"
                 ev["table"] = f"{db}.pages" if db else None
+                ev["gtid"] = cur_gtid  # DDL consumes its own gno
+                cur_gtid = None
                 out.append(ev)
                 pos += el
                 continue
@@ -325,7 +434,9 @@ def scan_binlog_bytes(
         elif etype == XID_EVENT:
             (txid,) = struct.unpack_from("<Q", body, 0)
             ev["tx_id"] = txid
+            ev["gtid"] = cur_gtid
             in_tran = False
+            cur_gtid = None  # the GTID covered exactly this transaction
             flush_tx(txid)
             out.append(ev)
         elif etype == TABLE_MAP_EVENT:
@@ -365,10 +476,24 @@ def scan_binlog_bytes(
             ev["op"] = _ROWS_OP[etype]
             ev["table"] = name
             ev["rows_event"] = blob
+            ev["gtid"] = cur_gtid
             if in_tran:
                 tx_buffer.append(ev)
             else:
                 out.append(ev)
+        elif etype == GTID_EVENT:
+            # 1B commit flag | 16B SID | 8B GNO (later-version logical-
+            # timestamp tail ignored)
+            (g,) = struct.unpack_from("<q", body, 17)
+            cur_gtid = f"{_sid_str(body[1:17])}:{g}"
+            ev["gtid"] = cur_gtid
+            out.append(ev)
+        elif etype == ANONYMOUS_GTID_EVENT:
+            cur_gtid = None
+            out.append(ev)
+        elif etype == PREVIOUS_GTIDS_EVENT:
+            ev["query"] = gtid_set_str(decode_gtid_set(body))
+            out.append(ev)
         elif etype in (ROTATE_EVENT, STOP_EVENT):
             if expected_server_id is not None and svrid != expected_server_id:
                 ev["kind"] += "_FOREIGN_SKIPPED"  # rs_parse_binlog.c:468-491
@@ -429,8 +554,13 @@ def _file_seq_of(path: str) -> int:
     return int(m.group(1))
 
 
-def _envelope_mapper(tables, expected_server_id, include_intvar=False):
+def _envelope_mapper(
+    tables, expected_server_id, include_intvar=False, include_gtid=False
+):
     ops = ("I", "U", "D", "DDL") + (("INTVAR",) if include_intvar else ())
+    cols = [f.name for f in ENVELOPE_SCHEMA.fields] + (
+        ["gtid"] if include_gtid else []
+    )
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -441,15 +571,16 @@ def _envelope_mapper(tables, expected_server_id, include_intvar=False):
                     bytes(content), seq, tables, expected_server_id
                 ):
                     if ev["op"] in ops:
-                        rows.append(
-                            [ev["log_pos"], ev["file_seq"], ev["server_id"],
-                             ev["op"], ev["table"], ev["tx_id"],
-                             ev["rows_event"], ev["query"]]
-                        )
+                        row = [
+                            ev["log_pos"], ev["file_seq"], ev["server_id"],
+                            ev["op"], ev["table"], ev["tx_id"],
+                            ev["rows_event"], ev["query"],
+                        ]
+                        if include_gtid:
+                            row.append(ev["gtid"])
+                        rows.append(row)
             if rows:
-                yield pd.DataFrame(
-                    rows, columns=[f.name for f in ENVELOPE_SCHEMA.fields]
-                )
+                yield pd.DataFrame(rows, columns=cols)
 
     return mapper
 
@@ -460,6 +591,7 @@ def read_binlog_files(
     tables: tuple[str, ...] | None = None,
     expected_server_id: int | None = None,
     include_intvar: bool = False,
+    include_gtid: bool = False,
 ) -> DataFrame:
     """Raw binlog FILE bytes → the engine's wire envelope (same schema the
     wire parquet log uses): feed ``decode_wire_events`` / the streaming
@@ -467,10 +599,22 @@ def read_binlog_files(
     filter/guard decisions run inside the scan, so filtered tables' row
     events never leave the scanner. ``include_intvar=True`` additionally
     passes INTVAR events through (op='INTVAR', insert id in ``query``) for
-    auto-increment attribution — see ``envelope_intvar_view``."""
+    auto-increment attribution — see ``envelope_intvar_view``.
+    ``include_gtid=True`` appends a nullable ``gtid`` column ("uuid:gno"
+    stamped on every row/DDL event of a GTID-framed log) — opt-in so the
+    default envelope schema stays byte-for-byte what the wire parquet
+    log carries."""
+    schema = ENVELOPE_SCHEMA
+    if include_gtid:
+        schema = T.StructType(
+            list(ENVELOPE_SCHEMA.fields)
+            + [T.StructField("gtid", T.StringType(), True)]
+        )
     return _binary_files(spark, path).mapInPandas(
-        _envelope_mapper(tables, expected_server_id, include_intvar),
-        schema=ENVELOPE_SCHEMA,
+        _envelope_mapper(
+            tables, expected_server_id, include_intvar, include_gtid
+        ),
+        schema=schema,
     )
 
 
@@ -587,3 +731,115 @@ def binlog_census(
             F.sum("ts_us_sum").alias("ts_us_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# resume-from-GTID (S3 in GTID terms: gtid → (file_seq, resume offset))
+# ---------------------------------------------------------------------------
+
+
+def read_previous_gtids(content: bytes) -> dict[str, list[tuple[int, int]]]:
+    """Header-only probe: walk events from the magic until the
+    PREVIOUS_GTIDS_EVENT (MySQL writes it immediately after the FDE) and
+    return its decoded set; {} if the file predates GTID mode. Stops at
+    the first non-control event, so the cost is O(file header), never
+    O(file) — the property that makes the file-level index cheap."""
+    if content[: len(MAGIC)] != MAGIC:
+        raise ValueError("bad binlog magic")
+    pos = len(MAGIC)
+    n = len(content)
+    while pos + HEADER_LEN <= n:
+        _ts, etype, _svrid, el, _next_pos, _flags = struct.unpack_from(
+            "<IBIIIH", content, pos
+        )
+        if el < HEADER_LEN or pos + el > n:
+            raise ValueError(f"truncated event at pos {pos}")
+        if etype == PREVIOUS_GTIDS_EVENT:
+            return decode_gtid_set(content[pos + HEADER_LEN : pos + el])
+        if etype not in (FORMAT_DESCRIPTION_EVENT, ROTATE_EVENT):
+            return {}  # past the header block: not a GTID-framed file
+        pos += el
+    return {}
+
+
+def gtid_file_index(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed (file_seq, previous_gtids) index over a binlog
+    directory: one task per file, each reading only the header block.
+    O(files) rows — safe to collect for pruning decisions."""
+    schema = T.StructType(
+        [
+            T.StructField("file_seq", T.IntegerType(), False),
+            T.StructField("previous_gtids", T.StringType(), False),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                [
+                    _file_seq_of(p),
+                    gtid_set_str(read_previous_gtids(bytes(c))),
+                ]
+                for p, c in zip(pdf["path"], pdf["content"])
+            ]
+            if rows:
+                yield pd.DataFrame(rows, columns=["file_seq", "previous_gtids"])
+
+    return _binary_files(spark, path).mapInPandas(mapper, schema=schema)
+
+
+def gtid_position(
+    spark: SparkSession, path: str, gtid: str
+) -> tuple[int, int]:
+    """Locate where to RESUME after transaction ``gtid`` ("uuid:gno"):
+    → (file_seq, offset past the transaction's closing event). File-level
+    pruning first — the PREVIOUS_GTIDS index picks the single file whose
+    prior-set excludes the gno while the next file's includes it (or the
+    last file) — then one sequential scan of just that file. At 10^10
+    events this reads N_file headers + ONE file, not the log.
+
+    Raises ``KeyError`` if the gtid is in no file (typo or purged log)."""
+    idx = sorted(
+        (r["file_seq"], r["previous_gtids"])
+        for r in gtid_file_index(spark, path).collect()
+    )
+    if not idx:
+        raise KeyError(f"no binlog files under {path}")
+
+    def prev_contains(prev_str: str) -> bool:
+        if not prev_str:
+            return False
+        parsed: dict[str, list[tuple[int, int]]] = {}
+        for part in prev_str.split(","):
+            sid, _, spans = part.partition(":")
+            ivals = []
+            for span in spans.split(":"):
+                lo, _, hi = span.partition("-")
+                ivals.append((int(lo), int(hi or lo) + 1))
+            parsed[sid] = ivals
+        return gtid_in_set(parsed, gtid)
+
+    candidate = None
+    for seq, prev_str in idx:
+        if prev_contains(prev_str):
+            break  # already executed before this file: target is earlier
+        candidate = seq
+    if candidate is None:
+        raise KeyError(f"gtid {gtid} precedes the retained log")
+    fname = os.path.join(path, f"mysql-bin.{candidate:06d}")
+    with open(fname, "rb") as f:
+        content = f.read()
+    in_target = False
+    for ev in scan_binlog_bytes(content, candidate):
+        if ev["kind"] == "GTID" and ev["gtid"] == gtid:
+            in_target = True
+        elif in_target and ev["kind"] in ("XID", "QUERY_DDL"):
+            # the tx closes here; resume at the next event boundary
+            return candidate, ev["log_pos"] + _event_len_at(
+                content, ev["log_pos"]
+            )
+    raise KeyError(f"gtid {gtid} not found in mysql-bin.{candidate:06d}")
+
+
+def _event_len_at(content: bytes, pos: int) -> int:
+    return struct.unpack_from("<IBIIIH", content, pos)[3]
