@@ -293,6 +293,17 @@ def _sf1_evidence(warm_dir: str, n_cores: int, n4_cores: int) -> dict | None:
         "wall_sec_4n": hi40["wall_sec"],
         "wall_sec_4n_20files": hi20["wall_sec"],
         "single_batch_wall_sec_4n": hi1["wall_sec"],
+        # window-quality evidence per timed run (quiet gate, round 4+)
+        "gates": {
+            k: {
+                "busy_cores_pre": r.get("busy_cores_pre"),
+                "gate": r.get("gate"),
+            }
+            for k, r in (
+                ("n_40", lo40), ("4n_40", hi40),
+                ("4n_20", hi20), ("4n_1", hi1),
+            )
+        },
     }
     attempts: list[dict] = []
     if os.path.exists(SF1_EVIDENCE_PATH):
