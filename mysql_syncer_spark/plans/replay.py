@@ -520,3 +520,90 @@ def bootstrap_then_replay(
     )
     tail["bootstrap"] = boot
     return tail
+
+
+def replay_binlog(
+    spark: SparkSession,
+    bin_dir: str,
+    table_path: str,
+    cfg: TableConfig | None = None,
+    num_buckets: int = 64,
+    tables: tuple[str, ...] | None = None,
+    expected_server_id: int | None = None,
+    after_gtid: str | None = None,
+) -> dict:
+    """Engine replay driven from RAW binlog FILE bytes (mysql-bin.NNNNNN
+    + mysql-bin.index), one idempotent batch per binlog file — the
+    file-level twin of ``replay`` for consumers that hold the actual
+    binlog rather than the typed parquet log.
+
+    ``after_gtid="uuid:gno"`` resumes AFTER that transaction: the
+    PREVIOUS_GTIDS header index prunes to the single containing file
+    (pre-offset files' bytes are never read — the source prunes via the
+    rotation index), one scan of that file finds the offset past the
+    transaction's closing event, and the partial first batch gets an
+    offset-qualified batch id so it never collides with a full-file
+    batch in the ledger.
+
+    Scale: each batch reads exactly ONE file (to_file_seq == from_file_seq
+    bound), so a K-file replay reads K files total, not K^2/2; within a
+    batch the scan parallelism is per-file (the file is sequential by
+    nature — reference fread-walk), and everything after the envelope is
+    the same one-shuffle ``apply_batch`` the typed path uses."""
+    from ..sources.binlog_file import (
+        _file_seq_of,
+        gtid_position,
+        read_binlog_files,
+    )
+    from ..sources.wire_log import decode_wire_events
+
+    cfg = cfg or default_pages_config()
+    from_seq, from_pos = None, 0
+    if after_gtid is not None:
+        from_seq, from_pos = gtid_position(spark, bin_dir, after_gtid)
+
+    idx_path = os.path.join(bin_dir, "mysql-bin.index")
+    if os.path.exists(idx_path):
+        with open(idx_path) as f:
+            seqs = sorted(
+                _file_seq_of(ln.strip()) for ln in f if ln.strip()
+            )
+    else:
+        seqs = sorted(
+            _file_seq_of(fn)
+            for fn in os.listdir(bin_dir)
+            if fn.startswith("mysql-bin.") and not fn.endswith(".index")
+        )
+    if from_seq is not None:
+        seqs = [s for s in seqs if s >= from_seq]
+
+    if PagesTable.exists(table_path):
+        table = PagesTable(spark, table_path)
+    else:
+        table = PagesTable.create(spark, table_path, num_buckets=num_buckets)
+
+    results = []
+    for seq in seqs:
+        partial = from_seq == seq and from_pos > 0
+        env = read_binlog_files(
+            spark,
+            bin_dir,
+            tables=tables or (cfg.name,),
+            expected_server_id=expected_server_id,
+            from_file_seq=seq,
+            from_pos=from_pos if partial else 0,
+            to_file_seq=seq,
+        )
+        batch_id = f"fileseq-{seq}@{from_pos}" if partial else f"fileseq-{seq}"
+        res = table.apply_batch(
+            batch_id,
+            decode_wire_events(env),
+            cfg,
+            server_id=expected_server_id,
+        )
+        results.append(res)
+    return {
+        "n_batches": len(results),
+        "resumed_at": (from_seq, from_pos) if after_gtid else None,
+        "batches": results,
+    }

@@ -536,15 +536,58 @@ CENSUS_SCHEMA = T.StructType(
 )
 
 
-def _binary_files(spark: SparkSession, path: str) -> DataFrame:
+def _binary_files(
+    spark: SparkSession,
+    path: str,
+    from_file_seq: int | None = None,
+    to_file_seq: int | None = None,
+) -> DataFrame:
     from pyspark.sql import functions as F
 
-    return (
+    def in_range(seq: int) -> bool:
+        return (from_file_seq is None or seq >= from_file_seq) and (
+            to_file_seq is None or seq <= to_file_seq
+        )
+
+    if from_file_seq is not None or to_file_seq is not None:
+        # prune at the SOURCE via the rotation index (S2): resume never
+        # reads pre-offset files' bytes at all — the file-level analogue
+        # of partition pruning. Falls back to the glob if no index.
+        idx = os.path.join(path, "mysql-bin.index")
+        if os.path.exists(idx):
+            with open(idx) as f:
+                names = [ln.strip() for ln in f if ln.strip()]
+            keep = [
+                os.path.join(path, nm)
+                for nm in names
+                if in_range(_file_seq_of(nm))
+            ]
+            if not keep:
+                return (
+                    spark.read.format("binaryFile")
+                    .load(os.path.join(path, "mysql-bin.*"))
+                    .where(F.lit(False))
+                    .select("path", "content")
+                )
+            return (
+                spark.read.format("binaryFile")
+                .load(keep)
+                .select("path", "content")
+            )
+    df = (
         spark.read.format("binaryFile")
         .load(os.path.join(path, "mysql-bin.*"))
         .where(~F.col("path").endswith(".index"))
-        .select("path", "content")
     )
+    if from_file_seq is not None or to_file_seq is not None:
+        seq = F.regexp_extract(F.col("path"), r"mysql-bin\.(\d+)$", 1).cast(
+            "int"
+        )
+        if from_file_seq is not None:
+            df = df.where(seq >= from_file_seq)
+        if to_file_seq is not None:
+            df = df.where(seq <= to_file_seq)
+    return df.select("path", "content")
 
 
 def _file_seq_of(path: str) -> int:
@@ -555,12 +598,17 @@ def _file_seq_of(path: str) -> int:
 
 
 def _envelope_mapper(
-    tables, expected_server_id, include_intvar=False, include_gtid=False
+    tables,
+    expected_server_id,
+    include_intvar=False,
+    include_gtid=False,
+    from_offsets=None,
 ):
     ops = ("I", "U", "D", "DDL") + (("INTVAR",) if include_intvar else ())
     cols = [f.name for f in ENVELOPE_SCHEMA.fields] + (
         ["gtid"] if include_gtid else []
     )
+    from_offsets = from_offsets or {}
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -568,7 +616,11 @@ def _envelope_mapper(
             for path_, content in zip(pdf["path"], pdf["content"]):
                 seq = _file_seq_of(path_)
                 for ev in scan_binlog_bytes(
-                    bytes(content), seq, tables, expected_server_id
+                    bytes(content),
+                    seq,
+                    tables,
+                    expected_server_id,
+                    from_pos=from_offsets.get(seq, 0),
                 ):
                     if ev["op"] in ops:
                         row = [
@@ -592,6 +644,9 @@ def read_binlog_files(
     expected_server_id: int | None = None,
     include_intvar: bool = False,
     include_gtid: bool = False,
+    from_file_seq: int | None = None,
+    from_pos: int = 0,
+    to_file_seq: int | None = None,
 ) -> DataFrame:
     """Raw binlog FILE bytes → the engine's wire envelope (same schema the
     wire parquet log uses): feed ``decode_wire_events`` / the streaming
@@ -603,16 +658,26 @@ def read_binlog_files(
     ``include_gtid=True`` appends a nullable ``gtid`` column ("uuid:gno"
     stamped on every row/DDL event of a GTID-framed log) — opt-in so the
     default envelope schema stays byte-for-byte what the wire parquet
-    log carries."""
+    log carries.
+
+    Resume: ``from_file_seq``/``to_file_seq`` prune files outside the
+    range at the SOURCE (via the rotation index when present — their
+    bytes are never read), and ``from_pos`` seeks the first file to a
+    saved offset (e.g. the one ``gtid_position`` returned)."""
     schema = ENVELOPE_SCHEMA
     if include_gtid:
         schema = T.StructType(
             list(ENVELOPE_SCHEMA.fields)
             + [T.StructField("gtid", T.StringType(), True)]
         )
-    return _binary_files(spark, path).mapInPandas(
+    offsets = (
+        {from_file_seq: from_pos}
+        if from_file_seq is not None and from_pos
+        else None
+    )
+    return _binary_files(spark, path, from_file_seq, to_file_seq).mapInPandas(
         _envelope_mapper(
-            tables, expected_server_id, include_intvar, include_gtid
+            tables, expected_server_id, include_intvar, include_gtid, offsets
         ),
         schema=schema,
     )
@@ -843,3 +908,27 @@ def gtid_position(
 
 def _event_len_at(content: bytes, pos: int) -> int:
     return struct.unpack_from("<IBIIIH", content, pos)[3]
+
+
+def resume_filter(from_file_seq: int, from_pos: int = 0):
+    """Envelope transform for STREAMING resume-after-GTID: the batch
+    lookup (``gtid_position``) runs once before the stream starts, then
+    this filter drops already-applied events — earlier files entirely
+    and the resume file's prefix. Compose as
+    ``transform=lambda df: decode_wire_events(resume_filter(seq, off)(df))``
+    on ``stream_binlog_files`` (the streaming source discovers whole
+    files, so the predicate — not the source — enforces the mid-file
+    boundary; the sink's idempotent ledger already tolerates the
+    redelivered prefix, this just avoids re-decoding it)."""
+    from pyspark.sql import functions as F
+
+    def apply(df: DataFrame) -> DataFrame:
+        return df.where(
+            (F.col("file_seq") > from_file_seq)
+            | (
+                (F.col("file_seq") == from_file_seq)
+                & (F.col("log_pos") >= from_pos)
+            )
+        )
+
+    return apply

@@ -216,3 +216,58 @@ def test_previous_gtids_probe_is_header_only():
     content = content[: len(content) // 2] + b"\xff" * 7  # torn tail
     got = read_previous_gtids(bytes(content))
     assert got and gtid_in_set(got, f"{UUID}:1")
+
+
+def _state(spark, path):
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+
+    return {
+        r["url"]: (r["warc_ts"], r["lang"])
+        for r in PagesTable(spark, path).read().collect()
+    }
+
+
+def test_replay_binlog_end_to_end_and_gtid_resume(spark):
+    """plans.replay_binlog: full replay from raw file bytes equals the
+    typed replay; a consumer that died after transaction G resumes with
+    after_gtid and converges to the same final state, with the partial
+    first batch under an offset-qualified ledger id."""
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.generator import write_event_log
+    from mysql_syncer_spark.plans.replay import replay, replay_binlog
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+    from mysql_syncer_spark.sources.wire_log import decode_wire_events
+
+    tbl, d = _encode()
+
+    tdir = tempfile.mkdtemp(prefix="gtid_typed_")
+    write_event_log(tbl, tdir)
+    tpath = os.path.join(tempfile.mkdtemp(prefix="gtid_t_"), "pages")
+    replay(spark, tdir, tpath, num_buckets=8)
+    want = _state(spark, tpath)
+
+    p_full = os.path.join(tempfile.mkdtemp(prefix="gtid_f_"), "pages")
+    r_full = replay_binlog(spark, d, p_full, num_buckets=8)
+    assert r_full["n_batches"] == 4 and r_full["resumed_at"] is None
+    assert _state(spark, p_full) == want
+
+    # pick a transaction inside file 1 (of 0..3) as the death point
+    env = read_binlog_files(spark, d, include_gtid=True)
+    gno_col = F.split("gtid", ":").getItem(1).cast("long")
+    g = (
+        env.where("file_seq = 1")
+        .select(F.max(gno_col).alias("g"))
+        .collect()[0]["g"]
+    )
+    gtid = f"{UUID}:{g}"
+
+    p_res = os.path.join(tempfile.mkdtemp(prefix="gtid_r_"), "pages")
+    t = PagesTable.create(spark, p_res, num_buckets=8)
+    t.apply_batch("prefix", decode_wire_events(env.where(gno_col <= g)))
+    r = replay_binlog(spark, d, p_res, num_buckets=8, after_gtid=gtid)
+    assert _state(spark, p_res) == want
+    seq0, off0 = r["resumed_at"]
+    assert (seq0, r["n_batches"]) in {(1, 3), (2, 2)}
+    if seq0 == 1:  # partial first file: offset-qualified batch id
+        assert r["batches"][0]["batch_id"] == f"fileseq-1@{off0}"
