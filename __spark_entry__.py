@@ -1506,12 +1506,13 @@ def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_image_bytes,
     )
 
-    # MIXED real formats: every third image is a baseline JPEG (our own
-    # numpy Huffman+DCT codec), the rest PNG — one meta pass over both
+    # MIXED real formats: every fifth image is WebP VP8L (pure-python
+    # codec), every third a baseline JPEG (numpy Huffman+DCT), the rest
+    # PNG — one meta pass over all three
     rows = [
         (i, make_image_bytes(
             i, w=32 + (i % 4) * 8, h=24, c=3,
-            fmt="jpeg" if i % 3 == 0 else "png",
+            fmt="webp" if i % 5 == 0 else "jpeg" if i % 3 == 0 else "png",
         ))
         for i in range(200)
     ]

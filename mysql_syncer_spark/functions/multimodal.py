@@ -15,9 +15,12 @@ end-to-end** (round 4): ``jpeg_meta`` walks T.81 marker segments to the
 SOF frame header, and ``jpeg_codec.py`` is a pure-numpy baseline
 Huffman+DCT codec — encode (4:4:4, Annex K tables) AND pixel decode
 (any-table baseline, chroma subsampling, restart markers); progressive
-raises. **WebP metadata probe is REAL** (round 3): ``webp_meta`` walks
-RIFF chunks to VP8/VP8L/VP8X; WebP PIXEL decode stays gated behind PIL
-(VP8 arithmetic coding needs a codec lib). **Video is a REAL AVI container**
+raises. **WebP lossless is REAL end-to-end** (round 5): ``webp_meta``
+walks RIFF chunks to VP8/VP8L/VP8X, and ``webp_codec.py`` is a
+pure-python VP8L codec — full-featured decode (prefix codes, LZ77,
+color cache, meta groups, all four transforms) + a literal-subset
+encoder; LOSSY VP8 pixel decode stays gated behind PIL (boolean
+arithmetic coding needs a codec lib). **Video is a REAL AVI container**
 (round 3): RIFF 'AVI ' (``avi_codec.py`` — hdrl/strl headers, movi
 chunks, idx1 index; any player opens it) with uncompressed BGR24 DIB
 frames or, since round 4, **MJPG** — per-frame baseline JPEG via the
@@ -27,7 +30,8 @@ The legacy ``VID1`` frame stays accepted.
 
 Wire formats:
   image: PNG (RFC 2083 subset: 8-bit gray/RGB/RGBA); baseline JPEG;
-         GIF87a/89a (LZW, gif_codec.py); WebP metadata probe; or legacy
+         GIF87a/89a (LZW, gif_codec.py); WebP VP8L (webp_codec.py,
+         lossy VP8 meta-only); or legacy
          b"IMG1" + u16 w + u16 h + u8 channels + w*h*c payload bytes
   audio: RIFF/WAVE PCM16 mono, or legacy b"PCM1" + u32 sr + s16le samples
   video: RIFF/AVI, uncompressed DIB or MJPG (avi_codec.py), or legacy
@@ -64,8 +68,9 @@ def make_image_bytes(
 ) -> bytes:
     """Deterministic REAL image bytes: PNG (numpy+zlib codec,
     png_codec.py), baseline JPEG (numpy Huffman+DCT codec,
-    jpeg_codec.py), or GIF (LZW codec, gif_codec.py — grayscale,
-    palette pixels surface as RGB on decode)."""
+    jpeg_codec.py), GIF (LZW codec, gif_codec.py — grayscale,
+    palette pixels surface as RGB on decode), or WebP VP8L
+    (webp_codec.py — lossless, subtract-green)."""
     rng = np.random.default_rng(media_id)
     img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
     if fmt == "png":
@@ -80,6 +85,10 @@ def make_image_bytes(
         from .gif_codec import encode_gif
 
         return encode_gif(img[:, :, 0])
+    if fmt == "webp":
+        from .webp_codec import encode_webp_lossless
+
+        return encode_webp_lossless(img, subtract_green=True)
     raise ValueError(f"unknown fixture format {fmt!r}")
 
 
@@ -272,14 +281,16 @@ def _decode_image_pixels(b: bytes) -> np.ndarray:
 
         return decode_gif(b)[0]
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
-        if HAVE_PIL:  # pragma: no cover — real decode when a codec lib exists
-            import io
+        from .webp_codec import decode_webp
 
-            return np.asarray(_pil.open(io.BytesIO(b)))
-        raise NotImplementedError(
-            "WebP pixel decode needs a codec lib (PIL absent in this "
-            "container); the metadata probe works without it"
-        )
+        try:
+            return decode_webp(b)  # real VP8L decode, pure python
+        except NotImplementedError:
+            if HAVE_PIL:  # pragma: no cover — lossy VP8 needs a codec lib
+                import io
+
+                return np.asarray(_pil.open(io.BytesIO(b)))
+            raise
     raise ValueError(
         "unknown image format (PNG/JPEG/GIF/WebP/IMG1 supported)"
     )
