@@ -302,3 +302,65 @@ class CorpusTable:
             "accepted": n_acc,
             "rejected": n_total - n_acc,
         }
+
+    # -- maintenance ------------------------------------------------------
+    def forget(self, batch_id: str, ids: DataFrame | list) -> dict:
+        """Remove documents by id from the corpus AND its dedup band
+        index — the right-to-be-forgotten / re-crawl-invalidation
+        maintenance op a long-lived training corpus needs (the CDC
+        bridge, plans/corpus_sync.py, calls it for DELETEd and UPDATEd
+        urls before re-gating the new content). Ledgered and atomic like
+        ``apply_batch``: re-delivery of a committed ``batch_id`` is a
+        no-op; rewritten files land before the manifest references them,
+        so a crash leaves only orphans.
+
+        Scale: this implementation consolidates docs/bands to ONE
+        rewritten dir each — O(corpus), a maintenance op (compaction
+        shape), amortized by batching forget sets. At 100 TB you would
+        bucket doc files by id range on write and rewrite only buckets
+        containing forgotten ids (the PagesTable bucket-pruned shape);
+        the per-file manifest already supports that replacement."""
+        while True:
+            m = self.manifest()
+            if batch_id in m.committed_batches:
+                return {"batch_id": batch_id, "skipped": True}
+            if isinstance(ids, list):
+                ids_df = self.spark.createDataFrame(
+                    [(int(i),) for i in ids], f"{m.id_col} long"
+                )
+            else:
+                ids_df = ids
+            ids_df = ids_df.select(m.id_col).distinct()
+            docs = self.read()
+            n_before = docs.count()
+            suffix = uuid.uuid4().hex[:8]
+            drel = os.path.join("docs", f"forget-{suffix}.parquet")
+            brel = os.path.join("bands", f"forget-{suffix}.parquet")
+            # forget sets are small next to the corpus: broadcast anti-join
+            docs.join(F.broadcast(ids_df), m.id_col, "left_anti").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.path, drel))
+            n_after = self.spark.read.parquet(
+                os.path.join(self.path, drel)
+            ).count()
+            self.band_index(m).join(
+                F.broadcast(ids_df), m.id_col, "left_anti"
+            ).write.mode("overwrite").parquet(os.path.join(self.path, brel))
+            m.version += 1
+            m.doc_files = [drel]
+            m.band_files = [brel]
+            m.committed_batches.append(batch_id)
+            m.n_docs = n_after
+            try:
+                self._commit(m)
+                return {
+                    "batch_id": batch_id,
+                    "skipped": False,
+                    "forgotten": n_before - n_after,
+                }
+            except CommitConflictError:
+                # a racer appended files our consolidated rewrite does not
+                # cover — re-read the fresh manifest and redo the rewrite
+                # (unlike apply_batch, a plain re-append rebase would drop
+                # the racer's docs)
+                continue
