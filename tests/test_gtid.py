@@ -271,3 +271,60 @@ def test_replay_binlog_end_to_end_and_gtid_resume(spark):
     assert (seq0, r["n_batches"]) in {(1, 3), (2, 2)}
     if seq0 == 1:  # partial first file: offset-qualified batch id
         assert r["batches"][0]["batch_id"] == f"fileseq-1@{off0}"
+
+
+def test_streaming_resume_after_gtid(spark):
+    """STREAMING twin of the batch resume: a consumer that died after
+    transaction G restarts the byte-level tail with ``resume_filter``
+    composed in front of the wire decode — already-applied events are
+    dropped by the predicate (the streaming source discovers whole
+    files; the filter enforces the mid-file boundary) and the table
+    converges to the full-replay state."""
+    from pyspark.sql import functions as F
+
+    from mysql_syncer_spark.generator import write_event_log
+    from mysql_syncer_spark.plans.replay import replay
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+    from mysql_syncer_spark.sources.binlog_file import (
+        resume_filter,
+        stream_binlog_files,
+    )
+    from mysql_syncer_spark.sources.wire_log import decode_wire_events
+    from mysql_syncer_spark.streaming.runner import run_streaming_replay
+
+    tbl, d = _encode()
+
+    tdir = tempfile.mkdtemp(prefix="gtid_styped_")
+    write_event_log(tbl, tdir)
+    tpath = os.path.join(tempfile.mkdtemp(prefix="gtid_st_"), "pages")
+    replay(spark, tdir, tpath, num_buckets=8)
+    want = _state(spark, tpath)
+
+    # death point: last transaction of file 1
+    env = read_binlog_files(spark, d, include_gtid=True)
+    gno_col = F.split("gtid", ":").getItem(1).cast("long")
+    g = (
+        env.where("file_seq = 1")
+        .select(F.max(gno_col).alias("g"))
+        .collect()[0]["g"]
+    )
+    seq, off = gtid_position(spark, d, f"{UUID}:{g}")
+
+    work = tempfile.mkdtemp(prefix="gtid_stream_")
+    p_res = os.path.join(work, "pages")
+    t = PagesTable.create(spark, p_res, num_buckets=8)
+    t.apply_batch("prefix", decode_wire_events(env.where(gno_col <= g)))
+
+    run_streaming_replay(
+        spark,
+        d,
+        p_res,
+        os.path.join(work, "ckpt"),
+        num_buckets=8,
+        timeout_sec=180,
+        transform=lambda df: decode_wire_events(
+            resume_filter(seq, off)(df)
+        ),
+        source=stream_binlog_files(spark, d),
+    )
+    assert _state(spark, p_res) == want
