@@ -224,6 +224,18 @@ def _sf1_aggregate(attempts: list[dict], n_cores: int, n4_cores: int) -> dict:
     )
     speedup = round(speedup_paired, 3)
     speedup_unpaired = round(lo_med / hi_med, 3)
+    # Ceiling-normalized (round 5+): each attempt that carried a
+    # same-window sha2 pair contributes engine_ratio / sha2_ratio — the
+    # fraction of that window's hardware ceiling the engine achieved.
+    # On a real cluster N→4N EXECUTORS multiplies memory bandwidth and
+    # un-shared cores together, so the ceiling there is ~4.0 and this
+    # fraction is the cluster-predictive efficiency.
+    normed = [
+        (a["wall_sec_n"] / a["wall_sec_4n"])
+        / (a["sha2_wall_sec_n"] / a["sha2_wall_sec_4n"])
+        for a in attempts
+        if a.get("sha2_wall_sec_n") and a.get("sha2_wall_sec_4n")
+    ]
     per20 = [
         max(0.0, a["wall_sec_4n_20files"] - a["single_batch_wall_sec_4n"]) / 20
         for a in attempts
@@ -253,6 +265,19 @@ def _sf1_aggregate(attempts: list[dict], n_cores: int, n4_cores: int) -> dict:
             "estimator": "median of per-attempt paired N/4N ratios",
             "speedup_unpaired_level_medians": speedup_unpaired,
             "scaling_efficiency_unpaired": round(speedup_unpaired / 4, 3),
+            **(
+                {
+                    "efficiency_vs_sha2_ceiling": round(_median(normed), 3),
+                    "ceiling_attempts": len(normed),
+                    "ceiling_note": "engine N/4N ratio over the SAME-window "
+                    "sha2 (ALU, embarrassingly parallel) N/4N ratio; these "
+                    "shared vCPUs cap ANY job below 4.0 (see "
+                    "BENCH/BASELINE.md), so this is the cluster-predictive "
+                    "efficiency",
+                }
+                if normed
+                else {}
+            ),
         },
         "single_batch_wall_sec_4n": round(single_med, 2),
         "per_batch_overhead_trendline_4n": {
@@ -284,7 +309,18 @@ def _sf1_evidence(warm_dir: str, n_cores: int, n4_cores: int) -> dict | None:
         row_group_rows=50_000,
     )
     d40, d20, d1 = mk(40), mk(20), mk(1)
+    # Same-window hardware-ceiling pair (round 5): sha2 is embarrassingly
+    # parallel ALU work, so its N→4N ratio is the most ANY job can scale
+    # on this host's vCPUs in this window. Measured ADJACENT to the engine
+    # runs so engine/ceiling share the window. Probe data
+    # (tools/scaling_probe.py, BENCH/BASELINE.md): these vCPUs never
+    # deliver 4.0 from 1→4 — CPU-seconds per unit of work inflate ~1.45x
+    # when 4 run concurrently (hypervisor SMT sharing the guest cannot
+    # see), so the raw ratio is host-bounded at ~2.5-3.5 and the
+    # ceiling-NORMALIZED ratio is the cluster-predictive number.
+    ceil_hi = sha2_ceiling(n4_cores)
     hi40 = replay_at(n4_cores, d40, warm_dir, depth=4)
+    ceil_lo = sha2_ceiling(n_cores)
     lo40 = replay_at(n_cores, d40, warm_dir, depth=4)
     hi20 = replay_at(n4_cores, d20, warm_dir, depth=4)
     hi1 = replay_at(n4_cores, d1, warm_dir)
@@ -293,6 +329,8 @@ def _sf1_evidence(warm_dir: str, n_cores: int, n4_cores: int) -> dict | None:
         "wall_sec_4n": hi40["wall_sec"],
         "wall_sec_4n_20files": hi20["wall_sec"],
         "single_batch_wall_sec_4n": hi1["wall_sec"],
+        "sha2_wall_sec_n": ceil_lo["wall_sec"],
+        "sha2_wall_sec_4n": ceil_hi["wall_sec"],
         # window-quality evidence per timed run (quiet gate, round 4+)
         "gates": {
             k: {
@@ -302,6 +340,7 @@ def _sf1_evidence(warm_dir: str, n_cores: int, n4_cores: int) -> dict | None:
             for k, r in (
                 ("n_40", lo40), ("4n_40", hi40),
                 ("4n_20", hi20), ("4n_1", hi1),
+                ("sha2_n", ceil_lo), ("sha2_4n", ceil_hi),
             )
         },
     }
@@ -541,7 +580,8 @@ def _compact(payload: dict) -> dict:
     if sf1:
         for k in ("mode", "reproduce", "attempts", "html_repeat"):
             sf1.pop(k, None)
-        (sf1.get("multi_batch_40_files") or {}).pop("estimator", None)
+        for k in ("estimator", "ceiling_note"):
+            (sf1.get("multi_batch_40_files") or {}).pop(k, None)
     return out
 
 
