@@ -607,3 +607,67 @@ def replay_binlog(
         "resumed_at": (from_seq, from_pos) if after_gtid else None,
         "batches": results,
     }
+
+
+def replay_binlog_multi(
+    spark: SparkSession,
+    bin_dir: str,
+    base_path: str,
+    registry: dict[str, TableConfig],
+    num_buckets: int = 64,
+    expected_server_id: int | None = None,
+) -> dict:
+    """Multi-table replay from RAW binlog FILE bytes: one file-level scan
+    per binlog file SHARED across the whole registry (unlike the typed
+    ``replay_multi``, which re-reads the cheap parquet log per table, a
+    byte-level decode is the expensive stage — so each file's decoded
+    events are localCheckpoint-ed once and every registered table applies
+    its filtered slice from that materialization). Routing parity:
+    ``rs_register_tables.c:6-36`` — unregistered tables are skipped at
+    the SCANNER (pushed table filter), each target keeps its own ledger.
+
+    Scale: per file this is one distributed decode + K bucket-shuffled
+    apply jobs over disjoint row subsets; the checkpoint holds one
+    file's events (binlog-file-sized, bounded by rotation)."""
+    from ..sources.binlog_file import _file_seq_of, read_binlog_files
+    from ..sources.wire_log import decode_wire_events
+
+    idx_path = os.path.join(bin_dir, "mysql-bin.index")
+    if os.path.exists(idx_path):
+        with open(idx_path) as f:
+            seqs = sorted(_file_seq_of(ln.strip()) for ln in f if ln.strip())
+    else:
+        seqs = sorted(
+            _file_seq_of(fn)
+            for fn in os.listdir(bin_dir)
+            if fn.startswith("mysql-bin.") and not fn.endswith(".index")
+        )
+    tables = {}
+    for name in registry:
+        path = os.path.join(base_path, name.replace(".", "_"))
+        tables[name] = (
+            PagesTable(spark, path)
+            if PagesTable.exists(path)
+            else PagesTable.create(spark, path, num_buckets=num_buckets)
+        )
+    results: dict[str, list] = {name: [] for name in registry}
+    for seq in seqs:
+        env = read_binlog_files(
+            spark,
+            bin_dir,
+            tables=tuple(registry),
+            expected_server_id=expected_server_id,
+            from_file_seq=seq,
+            to_file_seq=seq,
+        )
+        events = decode_wire_events(env).localCheckpoint(eager=True)
+        for name, cfg in registry.items():
+            results[name].append(
+                tables[name].apply_batch(
+                    f"fileseq-{seq}",
+                    events.filter(F.col("table") == name),
+                    cfg,
+                    server_id=expected_server_id,
+                )
+            )
+    return results

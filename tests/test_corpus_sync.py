@@ -119,7 +119,7 @@ def test_forget_is_ledgered_and_idempotent(spark):
     )
     corpus.apply_batch("seed", docs)
     r = corpus.forget("f1", [2])
-    assert r == {"batch_id": "f1", "skipped": False, "forgotten": 1}
+    assert (r["skipped"], r["forgotten"]) == (False, 1)
     assert _texts(corpus) == {T1, T4}
     assert corpus.forget("f1", [2])["skipped"]  # redelivery no-op
     # forgotten ids leave the band index too: an exact re-submission of
@@ -129,3 +129,30 @@ def test_forget_is_ledgered_and_idempotent(spark):
     )
     assert r2["accepted"] == 1
     assert _texts(corpus) == {T1, T2, T4}
+
+
+def test_forget_prunes_untouched_files_via_footer_stats(spark):
+    """Footer min/max id statistics exclude doc files the forget set
+    cannot touch: their manifest entries (and bytes) stay identical."""
+    cpath = os.path.join(tempfile.mkdtemp(prefix="csync4_c_"), "corpus")
+    corpus = CorpusTable.create(spark, cpath)
+    corpus.apply_batch(
+        "lo",
+        spark.createDataFrame([(1, T1), (2, T2)], "doc_id long, text string"),
+    )
+    corpus.apply_batch(
+        "hi",
+        spark.createDataFrame(
+            [(100, T4), (101, T2_NEW)], "doc_id long, text string"
+        ),
+    )
+    files_before = list(corpus.manifest().doc_files)
+    r = corpus.forget("f-hi", [101])
+    assert r["forgotten"] == 1
+    assert r["files_rewritten"] == 1 and r["files_pruned"] == 1
+    files_after = corpus.manifest().doc_files
+    # the low-range file survives BY REFERENCE; the high one was rewritten
+    assert files_before[0] in files_after
+    assert files_before[1] not in files_after
+    assert _texts(corpus) == {T1, T2, T4}
+    assert corpus.manifest().n_docs == 3

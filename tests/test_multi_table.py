@@ -93,3 +93,60 @@ def test_multi_table_ddl_isolated_per_target(spark, tmp_path):
     oracle_b, _, _ = sequential_replay(b, extract_text=False)
     tb = PagesTable(spark, os.path.join(base, "web_assets"))
     assert_state_equal(tb.read().collect(), oracle_b)
+
+
+def test_multi_table_from_raw_binlog_files(spark, tmp_path):
+    """replay_binlog_multi: one byte-level scan per binlog FILE shared
+    across the registry — per-table final state equals the typed
+    multi-table replay, the unregistered table leaves no target."""
+    from mysql_syncer_spark.plans.replay import replay_binlog_multi
+    from mysql_syncer_spark.sources.binlog_file import encode_binlog_files
+
+    a = generate_events(GenSpec(n_events=900, seed=17, events_per_file=300,
+                                ddl_scenario=()))
+    b = _retable(
+        generate_events(GenSpec(n_events=600, seed=18, events_per_file=300,
+                                ddl_scenario=())),
+        "web.assets",
+    )
+    c = _retable(
+        generate_events(GenSpec(n_events=300, seed=19, events_per_file=300,
+                                ddl_scenario=())),
+        "web.unregistered",
+    )
+    mixed = pa.concat_tables([a, b, c])
+    from mysql_syncer_spark.generator import write_event_log
+
+    tdir = str(tmp_path / "typed")
+    write_event_log(mixed, tdir)
+    bdir = str(tmp_path / "bin")
+    encode_binlog_files(mixed, bdir)
+
+    registry = {
+        "web.pages": TableConfig(name="web.pages"),
+        "web.assets": TableConfig(name="web.assets"),
+    }
+    tbase = str(tmp_path / "typed_tables")
+    replay_multi(spark, tdir, tbase, registry, num_buckets=4)
+    bbase = str(tmp_path / "bin_tables")
+    res = replay_binlog_multi(spark, bdir, bbase, registry, num_buckets=4)
+    assert set(res) == {"web.pages", "web.assets"}
+
+    for name in registry:
+        sub = name.replace(".", "_")
+        want = {
+            r["url"]: r.asDict()
+            for r in PagesTable(spark, os.path.join(tbase, sub)).read().collect()
+        }
+        got = {
+            r["url"]: r.asDict()
+            for r in PagesTable(spark, os.path.join(bbase, sub)).read().collect()
+        }
+        assert got == want, name
+    assert not os.path.exists(os.path.join(bbase, "web_unregistered"))
+
+    # idempotent re-run: every batch of every table skips
+    res2 = replay_binlog_multi(spark, bdir, bbase, registry, num_buckets=4)
+    assert all(
+        batch.get("skipped") for rs in res2.values() for batch in rs
+    )

@@ -107,6 +107,34 @@ def test_sf1_evidence_aggregation_is_median_based():
     assert a["wall_sec_4n_20files"] == 133.24
 
 
+def test_sf1_ceiling_normalization_over_paired_windows():
+    """Round-5 hardware-ceiling fields: attempts carrying a same-window
+    sha2 pair contribute engine_ratio/ceiling_ratio; attempts without
+    one are excluded from the normalized median but stay in the raw
+    estimators. No sha2 fields anywhere → no ceiling keys at all."""
+    import bench
+
+    base = {"wall_sec_4n_20files": 100.0, "single_batch_wall_sec_4n": 50.0}
+    raw_only = dict(base, wall_sec_n=300.0, wall_sec_4n=100.0)
+    c1 = dict(  # engine 3.0 vs ceiling 3.75 -> 0.8
+        base, wall_sec_n=300.0, wall_sec_4n=100.0,
+        sha2_wall_sec_n=15.0, sha2_wall_sec_4n=4.0,
+    )
+    c2 = dict(  # engine 3.6 vs ceiling 3.6 -> 1.0
+        base, wall_sec_n=360.0, wall_sec_4n=100.0,
+        sha2_wall_sec_n=14.4, sha2_wall_sec_4n=4.0,
+    )
+    mb = bench._sf1_aggregate([raw_only, c1, c2], 1, 4)[
+        "multi_batch_40_files"
+    ]
+    assert mb["ceiling_attempts"] == 2
+    assert mb["efficiency_vs_sha2_ceiling"] == round((0.8 + 1.0) / 2, 3)
+    # raw paired median still uses ALL attempts
+    assert mb["speedup_n_to_4n"] == 3.0
+    mb2 = bench._sf1_aggregate([raw_only], 1, 4)["multi_batch_40_files"]
+    assert "efficiency_vs_sha2_ceiling" not in mb2
+
+
 def test_bm25_plan_takeordered_no_python(spark, sf_dir):
     """BM25 top-k: TakeOrdered (never a global sort), term filter pushed
     below the tf aggregate, df/stats broadcast, zero Python stages."""
