@@ -142,13 +142,29 @@ def _await_quiet() -> dict:
 def _child(*args: str) -> dict:
     out = tempfile.mktemp(suffix=".json")
     env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "24g"))
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "tools", "replay_bench_child.py"),
+        *args,
+        out,
+    ]
+    # SPARK_GRAFT_PIN=1: pin the whole process tree to exactly <cores>
+    # CPUs and size the JVM's thread pools to match — the cleanest
+    # "two cluster sizes on one box" emulation (without it, a local[1]
+    # run's python workers/GC spill onto other host cores and consume
+    # ~1.5 cores, flattering the N baseline — measured in
+    # BENCH/BASELINE.md round 5). Off by default to keep the recorded
+    # attempt series comparable.
+    if os.environ.get("SPARK_GRAFT_PIN") == "1" and args[0] in ("replay", "sha2"):
+        cores = int(args[1])
+        first = int(os.environ.get("SPARK_GRAFT_PIN_FIRST", "8"))
+        cmd = ["taskset", "-c", f"{first}-{first + cores - 1}"] + cmd
+        env["SPARK_SUBMIT_OPTS"] = (
+            env.get("SPARK_SUBMIT_OPTS", "")
+            + f" -XX:ActiveProcessorCount={cores}"
+        ).strip()
     subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "tools", "replay_bench_child.py"),
-            *args,
-            out,
-        ],
+        cmd,
         check=True,
         env=env,
         stdout=subprocess.DEVNULL,

@@ -74,6 +74,23 @@ class _BitWriter:
         for i in range(length - 1, -1, -1):
             self.write((code >> i) & 1, 1)
 
+    def write_bytes_as_codes(self, values: np.ndarray) -> None:
+        """Vectorized ``write_code(v, 8)`` for a byte array — the
+        encoder's pixel hot loop (all literal codes are the 8-bit
+        identity code). Bits go MSB-of-value first into the LSB-first
+        stream; numpy unpack/pack replaces per-bit Python."""
+        bits = np.unpackbits(values.astype(np.uint8).reshape(-1, 1), axis=1)
+        pend = np.array(
+            [(self.acc >> i) & 1 for i in range(self.nbits)], dtype=np.uint8
+        )
+        allb = np.concatenate([pend, bits.ravel()])
+        n_full = len(allb) & ~7
+        self.out.extend(np.packbits(allb[:n_full], bitorder="little").tobytes())
+        self.acc = 0
+        self.nbits = int(len(allb) - n_full)
+        for i, bit in enumerate(allb[n_full:]):
+            self.acc |= int(bit) << i
+
     def bytes(self) -> bytes:
         out = bytes(self.out)
         if self.nbits:
@@ -655,13 +672,10 @@ def encode_webp_lossless(
         _write_single_symbol_code(bw, 255)  # constant alpha: 0 bits/px
     _write_single_symbol_code(bw, 0)  # distance (never used)
 
-    for y in range(h):
-        for x in range(w):
-            bw.write_code(int(g[y, x]), 8)
-            bw.write_code(int(r[y, x]), 8)
-            bw.write_code(int(b[y, x]), 8)
-            if has_alpha:
-                bw.write_code(int(a[y, x]), 8)
+    chans = [g, r, b] + ([a] if has_alpha else [])
+    bw.write_bytes_as_codes(
+        np.stack([c.reshape(-1) for c in chans], axis=1).ravel()
+    )
     return wrap_vp8l(b"\x2f" + bw.bytes())
 
 

@@ -86,8 +86,13 @@ def sync_corpus(
         )
         range_id = f"pages-v0-{v1}"
     else:
-        ch = pages.changes_between(v0, v1)
-        changed = ch.select(key, "change_op", text_col)
+        ch = pages.changes_between(v0, v1, with_before=True)
+        # rank-only updates (re-crawl with byte-identical text) are
+        # corpus no-ops: neither forgotten nor re-gated
+        rank_only = (F.col("change_op") == "U") & F.col(text_col).eqNullSafe(
+            F.col(f"before_{text_col}")
+        )
+        changed = ch.where(~rank_only).select(key, "change_op", text_col)
         range_id = f"pages-v{v0}-{v1}"
         # D: content left the table. U: stale content — forget, then the
         # new version re-enters through the gate below.

@@ -91,23 +91,34 @@ def test_sync_corpus_end_to_end(spark):
 
 
 def test_update_not_rejected_against_own_stale_version(spark):
-    """A minor re-crawl (near-dup of its OWN previous version) must
-    re-enter the corpus: forget-before-ingest prevents self-rejection."""
+    """A minor re-crawl (near-dup of its OWN previous version, one token
+    appended) must re-enter the corpus: forget-before-ingest prevents
+    self-rejection. A byte-identical re-crawl (rank-only update) is a
+    corpus NO-OP — neither forgotten nor re-gated."""
     ppath = os.path.join(tempfile.mkdtemp(prefix="csync2_p_"), "pages")
     cpath = os.path.join(tempfile.mkdtemp(prefix="csync2_c_"), "corpus")
     pages = PagesTable.create(spark, ppath, num_buckets=4)
     corpus = CorpusTable.create(spark, cpath)
+    long_t1 = T1 + " " + T2 + " " + T4  # ~20 tokens: stable near-dup sigs
     pages.apply_batch(
-        "b0", _ev(spark, [(1, 0, "I", "u1", "2024-01-01T00:00", T1)])
+        "b0", _ev(spark, [(1, 0, "I", "u1", "2024-01-01T00:00", long_t1)])
     )
     sync_corpus(spark, pages, corpus)
-    # identical text re-crawled (rank advances → change_op U)
+    # byte-identical re-crawl: rank advances (change_op U), text equal
     pages.apply_batch(
-        "b1", _ev(spark, [(2, 1, "U", "u1", "2024-03-01T00:00", T1)])
+        "b1", _ev(spark, [(2, 1, "U", "u1", "2024-03-01T00:00", long_t1)])
     )
     r = sync_corpus(spark, pages, corpus)
-    assert r["ingest"]["accepted"] == 1
-    assert _texts(corpus) == {T1}
+    assert r["ingest"]["accepted"] == 0 and r["ingest"]["rejected"] == 0
+    assert corpus.manifest().n_docs == 1
+    # minor edit: near-dup of its own previous version must be ACCEPTED
+    edited = long_t1 + " appended"
+    pages.apply_batch(
+        "b2", _ev(spark, [(3, 2, "U", "u1", "2024-04-01T00:00", edited)])
+    )
+    r2 = sync_corpus(spark, pages, corpus)
+    assert r2["ingest"]["accepted"] == 1
+    assert _texts(corpus) == {edited}
     assert corpus.manifest().n_docs == 1
 
 
