@@ -35,6 +35,11 @@ Byte layout (reference file:line):
   ``mysql_rows.MySQLTableDef.decode_rows_event`` runs unchanged.
 - ROTATE (4) / STOP (3): control events; a foreign server id skips them
   (rs_parse_binlog.c:468-491).
+- CRC32 event checksums (MySQL 5.6+ server default, beyond the 5.5-era
+  C reference): auto-detected from the FDE's server version + trailing
+  alg byte; every event's trailing CRC32 is VERIFIED (corruption
+  raises) and stripped before dispatch. Encoder opt-in via
+  ``checksum="crc32"``.
 
 Scale stance: one binlog file is inherently sequential (the reference
 fread-walks it), so the unit of parallelism is the FILE — Spark's
@@ -104,6 +109,31 @@ def _header(ts: int, etype: int, server_id: int, body_len: int, pos: int) -> byt
     el = HEADER_LEN + body_len
     return struct.pack("<IBIIIH", ts & 0xFFFFFFFF, etype, server_id, el,
                        pos + el, 0)
+
+
+def _detect_crc32(content: bytes) -> bool:
+    """Peek the FORMAT_DESCRIPTION event at the file head: MySQL >= 5.6.1
+    appends a checksum-algorithm byte at body[-5] (0=off, 1=CRC32) and a
+    trailing CRC32 on every event. Version is read from the FDE's 50-byte
+    server_version field, so a 5.5-era file (no alg byte at all) is never
+    misread."""
+    p = len(MAGIC)
+    if p + HEADER_LEN > len(content):
+        return False
+    _ts, etype, _sv, el, _np, _fl = struct.unpack_from("<IBIIIH", content, p)
+    if etype != FORMAT_DESCRIPTION_EVENT or p + el > len(content):
+        return False
+    body = content[p + HEADER_LEN: p + el]
+    if len(body) < 2 + 50 + 4 + 1 + 5:
+        return False
+    ver = body[2:52].split(b"\x00", 1)[0].decode(errors="replace")
+    try:
+        parts = tuple(int(x) for x in ver.split("-", 1)[0].split(".")[:3])
+    except ValueError:
+        return False
+    if parts < (5, 6, 1):
+        return False
+    return body[-5] == 1  # BINLOG_CHECKSUM_ALG_CRC32
 
 
 def _query_body(db: str, sql: str) -> bytes:
@@ -218,6 +248,7 @@ def encode_binlog_files(
     server_id: int = 1,
     table_id: int = 1,
     gtid_uuid: str | None = None,
+    checksum: str | None = None,
 ) -> list[str]:
     """Typed event table (generator.EVENT_ARROW layout, pyarrow) → real
     binlog FILE bytes: ``mysql-bin.NNNNNN`` per file_seq plus a
@@ -235,7 +266,15 @@ def encode_binlog_files(
     gno 1,2,… in commit order precedes every transaction (and every
     DDL — its own gno, as in MySQL), and each file opens with a
     PREVIOUS_GTIDS_EVENT holding the set committed in PRIOR files —
-    the header that makes resume-from-GTID prune at the file level."""
+    the header that makes resume-from-GTID prune at the file level.
+
+    ``checksum="crc32"`` opts into MySQL 5.6+ event checksums (the
+    server default since 5.6): the FDE advertises a 5.6 server version
+    + the alg byte, and EVERY event (FDE included) gains a trailing
+    CRC32 over its first event_len−4 bytes — the scanner auto-detects
+    and VERIFIES (corruption raises)."""
+    if checksum not in (None, "crc32"):
+        raise ValueError(f"unsupported checksum {checksum!r}")
     td = table_def or PAGES_WIRE_TABLE
     os.makedirs(out_dir, exist_ok=True)
     # ARRIVAL order, not log_pos order: a redelivered duplicate carries
@@ -260,15 +299,26 @@ def encode_binlog_files(
 
         def emit(etype: int, body: bytes, ts: int = 0) -> None:
             nonlocal pos
-            buf.extend(_header(ts, etype, server_id, len(body), pos))
-            buf.extend(body)
-            pos += HEADER_LEN + len(body)
+            if checksum == "crc32":
+                import zlib
+
+                hdr = _header(ts, etype, server_id, len(body) + 4, pos)
+                crc = zlib.crc32(hdr + body) & 0xFFFFFFFF
+                buf.extend(hdr + body + struct.pack("<I", crc))
+                pos += HEADER_LEN + len(body) + 4
+            else:
+                buf.extend(_header(ts, etype, server_id, len(body), pos))
+                buf.extend(body)
+                pos += HEADER_LEN + len(body)
 
         # FDE: v4, 50B server version, create ts, header len, 27 post-hdr
+        # (+ the checksum-alg byte when events carry CRC32 trailers)
+        ver = b"5.6.4-msss" if checksum == "crc32" else b"5.5.0-msss"
         emit(
             FORMAT_DESCRIPTION_EVENT,
-            struct.pack("<H", 4) + b"5.5.0-msss".ljust(50, b"\x00")
-            + struct.pack("<I", 0) + bytes([HEADER_LEN]) + bytes(27),
+            struct.pack("<H", 4) + ver.ljust(50, b"\x00")
+            + struct.pack("<I", 0) + bytes([HEADER_LEN]) + bytes(27)
+            + (bytes([1]) if checksum == "crc32" else b""),
         )
         if gtid_uuid is not None:
             prior = {gtid_uuid: [(1, gno + 1)]} if gno else {}
@@ -362,6 +412,12 @@ def scan_binlog_bytes(
         raise ValueError("bad binlog magic")
     pos = max(from_pos, len(MAGIC))
     n = len(content)
+    # Checksum detection (MySQL 5.6+: binlog_checksum=CRC32): the FDE at
+    # the file head declares the algorithm — server_version >= 5.6.1 puts
+    # a 1-byte alg at body[-5] and every event (FDE included) then ends
+    # with CRC32 over its first (event_len - 4) bytes. Peeked from the
+    # head even on a mid-file resume (from_pos skips the FDE itself).
+    crc32_on = _detect_crc32(content)
     out: list[dict] = []
     tx_buffer: list[dict] = []  # row/DDL events awaiting their XID stamp
     in_tran = False
@@ -381,7 +437,19 @@ def scan_binlog_bytes(
         )
         if el < HEADER_LEN or pos + el > n:
             raise ValueError(f"truncated event at pos {pos}")
-        body = content[pos + HEADER_LEN: pos + el]
+        if crc32_on:
+            import zlib
+
+            (want,) = struct.unpack_from("<I", content, pos + el - 4)
+            got = zlib.crc32(content[pos: pos + el - 4]) & 0xFFFFFFFF
+            if got != want:
+                raise ValueError(
+                    f"binlog CRC32 mismatch at pos {pos} (event type "
+                    f"{etype}): corrupt or torn event"
+                )
+            body = content[pos + HEADER_LEN: pos + el - 4]
+        else:
+            body = content[pos + HEADER_LEN: pos + el]
         ev = {
             "kind": _KIND.get(etype, f"UNKNOWN_{etype}"),
             "log_pos": pos,

@@ -473,3 +473,36 @@ def test_truncated_stream_raises():
     b = bytearray(encode_webp_lossless(np.zeros((4, 4, 3), np.uint8)))
     with pytest.raises(ValueError):
         decode_webp(bytes(b[: len(b) // 2]))
+
+
+def test_roundtrip_property_sweep():
+    """Property sweep: any uint8 image of any small shape/channel count
+    roundtrips exactly through the VP8L encoder+decoder."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:  # pragma: no cover
+        import pytest as _pytest
+
+        _pytest.skip("hypothesis unavailable")
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 18),
+        h=st.integers(1, 14),
+        c=st.sampled_from([2, 3, 4]),  # 2 → gray path via [:, :, 0]? no: gray is ndim==2
+        seed=st.integers(0, 2**31 - 1),
+        sg=st.booleans(),
+    )
+    def run(w, h, c, seed, sg):
+        rng = np.random.default_rng(seed)
+        if c == 2:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            want = np.repeat(img[:, :, None], 3, axis=2)
+        else:
+            img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            want = img
+        out = decode_webp(encode_webp_lossless(img, subtract_green=sg))
+        np.testing.assert_array_equal(out, want)
+
+    run()
