@@ -1106,6 +1106,12 @@ def q_mysql_row_image(spark: SparkSession, sf_dir: str) -> DataFrame:
             MySQLColumn("dtm", "datetime"),
             MySQLColumn("y", "year"),
             MySQLColumn("flags", "bit(16)"),
+            # MySQL 5.6.4+ temporal v2 + 5.7 JSON binary (temporal2.py /
+            # json_binary.py — beyond the 5.5-era reference, like GTID/CRC32)
+            MySQLColumn("created", "timestamp2(3)"),
+            MySQLColumn("updated", "datetime2(6)"),
+            MySQLColumn("elapsed", "time2(4)"),
+            MySQLColumn("attrs", "json"),
             MySQLColumn("legacy", "varchar(10)"),  # unused bit → no bytes
             MySQLColumn("secret", "varchar(10)"),  # skip sentinel
         ),
@@ -1131,6 +1137,13 @@ def q_mysql_row_image(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dtm": base_dt + dtmod.timedelta(seconds=i * 100_003),
             "y": 0 if i % 97 == 0 else 1901 + (i % 150),
             "flags": ((i * 40503) % 65536).to_bytes(2, "big"),
+            "created": (1_700_000_000 + i * 97) * 1_000_000
+            + (i * 997 % 1000) * 1000,  # fsp=3 ⇒ ms quantum
+            "updated": base_dt
+            + dtmod.timedelta(seconds=i * 100_003, microseconds=i * 31337 % 1_000_000),
+            "elapsed": (-1 if i % 3 == 0 else 1)
+            * ((i * 61001 % 3_016_800) * 1_000_000 + (i % 10000) * 100),
+            "attrs": None if i % 5 == 0 else {"i": i, "s": f"x{i % 7}"},
             "secret": f"s{i}",
         }
 
@@ -1155,6 +1168,10 @@ def q_mysql_row_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dtm").cast("string").alias("dtm_s"),
         "y",
         F.hex("flags").alias("flags_hex"),
+        F.col("created").alias("created_us"),
+        F.date_format("updated", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("updated_s"),
+        F.col("elapsed").alias("elapsed_us"),
+        "attrs",
     )
 
 
@@ -1174,7 +1191,19 @@ _MYSQL_ROW_IMAGE_SQL = """
            (TIMESTAMP '2001-01-01 00:00:00'
                + (i * 100003) * INTERVAL 1 SECOND)::VARCHAR AS dtm_s,
            (CASE WHEN i % 97 = 0 THEN 0 ELSE 1901 + (i % 150) END)::SMALLINT AS y,
-           upper(lpad(to_hex((i * 40503) % 65536), 4, '0')) AS flags_hex
+           upper(lpad(to_hex((i * 40503) % 65536), 4, '0')) AS flags_hex,
+           (1700000000 + i * 97)::BIGINT * 1000000
+               + (i * 997 % 1000) * 1000 AS created_us,
+           strftime(TIMESTAMP '2001-01-01 00:00:00'
+                        + (i * 100003) * INTERVAL 1 SECOND
+                        + (i * 31337 % 1000000) * INTERVAL 1 MICROSECOND,
+                    '%Y-%m-%d %H:%M:%S.%f') AS updated_s,
+           (CASE WHEN i % 3 = 0 THEN -1 ELSE 1 END)
+               * ((i * 61001 % 3016800)::BIGINT * 1000000
+                  + (i % 10000) * 100) AS elapsed_us,
+           CASE WHEN i % 5 = 0 THEN NULL
+                ELSE '{"i":' || i || ',"s":"x' || (i % 7) || '"}'
+           END AS attrs
     FROM range(500) r(i)
 """
 

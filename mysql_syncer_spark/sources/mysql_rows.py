@@ -56,6 +56,16 @@ from .decoder import (
     encode_mysql_decimal,
     encode_packed_int,
 )
+from .json_binary import encode_json_binary, json_text
+from .temporal2 import (
+    FRAC_BYTES,
+    decode_datetime2,
+    decode_time2,
+    decode_timestamp2,
+    encode_datetime2,
+    encode_time2,
+    encode_timestamp2,
+)
 
 # MySQL wire type codes (rs_binlog_row.c:22-280 meta table positions).
 MYSQL_TYPE_CODES = {
@@ -73,6 +83,12 @@ MYSQL_TYPE_CODES = {
     "year": 13,
     "varchar": 15,
     "bit": 16,
+    # MySQL 5.6.4+ temporal v2 (temporal2.py) and 5.7+ JSON
+    # (json_binary.py) — beyond the 5.5-era reference, like GTID/CRC32
+    "timestamp2": 17,
+    "datetime2": 18,
+    "time2": 19,
+    "json": 245,
     "newdecimal": 246,
     "blob": 252,
     "varstring": 253,
@@ -128,6 +144,10 @@ class MySQLColumn:
             # precision) in the reference's argument naming
         if kind in ("float", "double"):
             return bytes([_FIXED_LEN[kind]])
+        if kind in ("timestamp2", "datetime2", "time2"):
+            return bytes([p1])  # fsp (fractional-second precision, 0-6)
+        if kind == "json":
+            return bytes([p1 or 4])  # length-prefix width (server uses 4)
         return b""
 
     def spark_field(self) -> T.StructField:
@@ -157,6 +177,14 @@ class MySQLColumn:
             st = T.IntegerType()  # seconds of day
         elif kind == "datetime":
             st = T.TimestampNTZType()
+        elif kind == "datetime2":
+            st = T.TimestampNTZType()  # carries microseconds
+        elif kind == "timestamp2":
+            st = T.LongType()  # epoch microseconds
+        elif kind == "time2":
+            st = T.LongType()  # signed microseconds of day
+        elif kind == "json":
+            st = T.StringType()  # canonical JSON text
         elif kind == "year":
             st = T.ShortType()
         else:  # pragma: no cover
@@ -229,6 +257,15 @@ class MySQLTableDef:
             return b
         if kind == "newdecimal":
             return encode_mysql_decimal(v, p1, p2)
+        if kind == "timestamp2":
+            return encode_timestamp2(v, p1)
+        if kind == "datetime2":
+            return encode_datetime2(v, p1)
+        if kind == "time2":
+            return encode_time2(v, p1)
+        if kind == "json":
+            b = encode_json_binary(v)
+            return len(b).to_bytes(p1 or 4, "little") + b
         raise ValueError(kind)  # pragma: no cover
 
     def encode_rows_event(
@@ -356,6 +393,20 @@ class MySQLTableDef:
         if kind == "newdecimal":
             w = decimal_binsize(meta[0], meta[1])
             return decode_mysql_decimal(buf[pos:pos + w], meta[0], meta[1]), pos + w
+        if kind == "timestamp2":
+            w = 4 + FRAC_BYTES[meta[0]]
+            return decode_timestamp2(bytes(buf[pos:pos + w]), meta[0]), pos + w
+        if kind == "datetime2":
+            w = 5 + FRAC_BYTES[meta[0]]
+            return decode_datetime2(bytes(buf[pos:pos + w]), meta[0]), pos + w
+        if kind == "time2":
+            w = (6 if meta[0] >= 5 else 3 + FRAC_BYTES[meta[0]])
+            return decode_time2(bytes(buf[pos:pos + w]), meta[0]), pos + w
+        if kind == "json":
+            width = meta[0]
+            ln = int.from_bytes(buf[pos:pos + width], "little")
+            pos += width
+            return json_text(bytes(buf[pos:pos + ln])), pos + ln
         raise ValueError(kind)  # pragma: no cover
 
     def decode_rows_event(self, blob: bytes, event_type: str = "write") -> list[dict]:
@@ -375,7 +426,8 @@ class MySQLTableDef:
         mp = pos
         code_to_kind = {v: k for k, v in MYSQL_TYPE_CODES.items()}
         meta_widths = {"varchar": 2, "varstring": 2, "string": 2, "bit": 2,
-                       "newdecimal": 2, "blob": 1, "float": 1, "double": 1}
+                       "newdecimal": 2, "blob": 1, "float": 1, "double": 1,
+                       "timestamp2": 1, "datetime2": 1, "time2": 1, "json": 1}
         for code in type_codes:
             w = meta_widths.get(code_to_kind[code], 0)
             metas.append(bytes(buf[mp:mp + w]))
