@@ -57,6 +57,14 @@ class TableConfig:
     # no stream state to amortize against).
     skew_probe: str = "auto"
     salt_reprobe_delta: float = 0.10
+    # Columns `transform` DERIVES from other payload columns (derived wire
+    # field -> source wire fields). Consulted by the MINIMAL-row-image
+    # path (operators/partial.py): when an event writes a source but not
+    # the derived column, the derived value is reset to NULL instead of
+    # coalesced from table state, so the transform recomputes it — the
+    # table's stored value (e.g. text extracted from a PREVIOUS html) is
+    # not the wire value the MINIMAL diff was taken against.
+    derived_columns: dict = field(default_factory=dict, compare=False)
 
     def __post_init__(self) -> None:
         if self.on_delete not in ("delete", "ignore"):

@@ -301,3 +301,70 @@ def write_event_log(
         pq.write_table(chunk, path, row_group_size=row_group_rows)
         paths.append(path)
     return paths
+
+
+def minimalize_event_log(
+    table: pa.Table, payload_fields: tuple[str, ...] | None = None
+) -> pa.Table:
+    """Derive the ``binlog_row_image=MINIMAL`` version of a full-image
+    event log (fixture producer — a real MySQL server is the production
+    one): each U event keeps only the payload fields whose value differs
+    from the row the PRECEDING log events produced, recorded in a new
+    ``present: list<string>`` column (the used-bitmap, by name; NULL =
+    full image). The key and ``warc_ts`` are always present.
+
+    MINIMAL diffs are only well-defined against a source-ordered log
+    (MySQL's binlog order IS commit order), so per-key LWW ranks
+    (warc_ts, file_seq, log_pos) must be monotone in arrival order —
+    generate with ``p_out_of_order=0``. Exact duplicate redeliveries
+    (``p_duplicate``) are fine: they re-ship the SAME minimal image as
+    their first occurrence. Anything else raises.
+
+    Driver-side ordered fold, O(n) — fixture scale only.
+    """
+    fields = list(payload_fields or (f for f in BASE_FIELDS if f != "url"))
+    diff_fields = [f for f in fields if f != "warc_ts"]
+    rows = table.to_pylist()
+    state: dict[str, tuple | None] = {}  # url -> (rank, row) | None if deleted
+    memo: dict[tuple, list | None] = {}  # (url, rank) -> shipped present
+    present_col: list[list | None] = []
+    for r in rows:
+        if r["op"] not in ("I", "U", "D") or not r.get("after"):
+            present_col.append(None)
+            continue
+        after = r["after"]
+        url = after["url"]
+        rank = (after["warc_ts"], r["file_seq"], r["log_pos"])
+        cur = state.get(url, None)
+        cur_rank = cur[0] if cur else None
+        if cur_rank is not None and rank < cur_rank:
+            # must be a verbatim redelivery of an already-seen event
+            if (url, rank) not in memo:
+                raise ValueError(
+                    f"rank regression for key {url!r}: MINIMAL images "
+                    "require per-key monotone ranks (p_out_of_order=0)"
+                )
+            present_col.append(memo[(url, rank)])
+            continue
+        if r["op"] == "D":
+            state[url] = (rank, None)
+            memo[(url, rank)] = None
+            present_col.append(None)
+            continue
+        prev_row = cur[1] if cur else None
+        if r["op"] == "I" or prev_row is None:
+            shipped = None  # full image (insert / first write after D)
+        else:
+            shipped = ["url", "warc_ts"] + [
+                f for f in diff_fields if after.get(f) != prev_row.get(f)
+            ]
+        new_row = dict(prev_row or {})
+        for f in diff_fields:
+            new_row[f] = after.get(f)
+        state[url] = (rank, new_row)
+        memo[(url, rank)] = shipped
+        present_col.append(shipped)
+    return table.append_column(
+        pa.field("present", pa.list_(pa.string())),
+        pa.array(present_col, type=pa.list_(pa.string())),
+    )

@@ -45,7 +45,11 @@ def default_pages_config(text_impl: str = "pandas") -> TableConfig:
             return with_filled_text(df, "html", "text")
         return with_extracted_text(df, "html", "text", impl=text_impl)
 
-    return TableConfig(name="web.pages", transform=transform)
+    return TableConfig(
+        name="web.pages",
+        transform=transform,
+        derived_columns={"text": ("html",)},
+    )
 
 
 def replay_multi(
