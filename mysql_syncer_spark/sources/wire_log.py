@@ -157,13 +157,26 @@ def _payload_to_wire(p: dict | None) -> dict | None:
     }
 
 
+# typed payload field name <-> wire column name (only warc_ts differs)
+_TYPED_TO_WIRE = {"warc_ts": "warc_ts_us"}
+_WIRE_TO_TYPED = {v: k for k, v in _TYPED_TO_WIRE.items()}
+
+
 def write_wire_event_log(
     table: pa.Table, out_dir: str, row_group_rows: int = 50_000
 ) -> list[str]:
     """Convert a typed event table (generator.EVENT_ARROW) into the wire
     log: one parquet file per file_seq (rotation parity with
-    write_event_log), each row event carrying a ROWS_EVENT blob."""
+    write_event_log), each row event carrying a ROWS_EVENT blob.
+
+    If the table carries a ``present`` column (a MINIMAL-image log from
+    generator.minimalize_event_log), U events are encoded the way
+    ``binlog_row_image=MINIMAL`` actually frames them: the BEFORE image
+    is key-only and the AFTER image's used-columns bitmap covers exactly
+    the present fields — the bitmap walk the reference already does
+    (rs_binlog_row.c:430-631) carries the partial image for free."""
     td = PAGES_WIRE_TABLE
+    has_present = "present" in table.schema.names
     rows_out: list[dict] = []
     for ev in table.to_pylist():
         op = ev["op"]
@@ -178,10 +191,24 @@ def write_wire_event_log(
             # typed-model image placement: before is populated for U only;
             # I and D carry their single image in `after` (generator.py:215)
             if op == "U":
-                blob = td.encode_rows_event(
-                    [(_payload_to_wire(ev["before"]), _payload_to_wire(ev["after"]))],
-                    "update",
-                )
+                present = ev.get("present") if has_present else None
+                if present is not None:
+                    used_after = tuple(
+                        _TYPED_TO_WIRE.get(f, f) for f in present
+                    )
+                    blob = td.encode_rows_event(
+                        [(_payload_to_wire({"url": ev["after"]["url"]}),
+                          _payload_to_wire(ev["after"]))],
+                        "update",
+                        used=("url",),  # MINIMAL before image: key only
+                        used_after=used_after,
+                    )
+                else:
+                    blob = td.encode_rows_event(
+                        [(_payload_to_wire(ev["before"]),
+                          _payload_to_wire(ev["after"]))],
+                        "update",
+                    )
             else:
                 blob = td.encode_rows_event(
                     [_payload_to_wire(ev["after"])],
@@ -276,15 +303,16 @@ def decode_wire_events(
             else T.StructField(f.name, pay_struct, True)
             for f in DECODED_EVENT_SCHEMA.fields
         ]
+        + [T.StructField("present", T.ArrayType(T.StringType()), True)]
     )
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            befores, afters, ddls, kept = [], [], [], []
+            befores, afters, ddls, presents, kept = [], [], [], [], []
             for idx, (blob, op, query) in enumerate(
                 zip(pdf["rows_event"], pdf["op"], pdf["query"])
             ):
-                before = after = ddl = None
+                before = after = ddl = present = None
                 try:
                     if op == "DDL":
                         ddl = parse_ddl_query(query)
@@ -293,9 +321,16 @@ def decode_wire_events(
                         before = convert(
                             {k[7:]: v for k, v in d.items() if k.startswith("before_")}
                         )
-                        after = convert(
-                            {k[6:]: v for k, v in d.items() if k.startswith("after_")}
-                        )
+                        raw_after = {
+                            k[6:]: v for k, v in d.items() if k.startswith("after_")
+                        }
+                        # the after image's used-columns bitmap, by typed
+                        # name — binlog_row_image=MINIMAL rides the wire
+                        # as exactly this (operators/partial.py consumes)
+                        present = [
+                            _WIRE_TO_TYPED.get(k, k) for k in raw_after
+                        ]
+                        after = convert(raw_after)
                     else:  # I and D both carry one image, placed in `after`
                         after = convert(
                             td.decode_rows_event(bytes(blob), "write")[0]
@@ -307,6 +342,7 @@ def decode_wire_events(
                 befores.append(before)
                 afters.append(after)
                 ddls.append(ddl)
+                presents.append(present)
                 kept.append(idx)
             if not kept:  # all rows skipped: an empty object column would
                 continue  # arrive float64 and fail the Arrow struct cast
@@ -321,6 +357,7 @@ def decode_wire_events(
                     "before": befores,
                     "after": afters,
                     "ddl": ddls,
+                    "present": presents,
                 }
             )
 

@@ -204,3 +204,44 @@ def test_minimalize_refuses_rank_regressions():
                   ddl_scenario=(), seed=3)
     with pytest.raises(ValueError, match="monotone"):
         minimalize_event_log(generate_events(bad))
+
+
+def test_minimal_wire_round_trip_and_bandwidth(spark):
+    """MINIMAL images over the REAL wire framing: the used-columns bitmap
+    carries the partial after-image; decode surfaces it as `present`; the
+    partial path replays it to the same state as the full typed log —
+    and the wire bytes genuinely shrink (the point of MINIMAL)."""
+    from mysql_syncer_spark.generator import generate_events
+    from mysql_syncer_spark.sources.wire_log import (
+        decode_wire_events,
+        write_wire_event_log,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        full = generate_events(SPEC)
+        minimal = minimalize_event_log(full)
+        wd_full, wd_min = os.path.join(td, "wf"), os.path.join(td, "wm")
+        write_wire_event_log(full, wd_full)
+        write_wire_event_log(minimal, wd_min)
+
+        def ubytes(d):
+            df = spark.read.parquet(d)
+            return df.filter(F.col("op") == "U").agg(
+                F.sum(F.length("rows_event"))
+            ).head()[0]
+
+        # bandwidth win is workload-shaped: this synthetic corpus rewrites
+        # html on almost every re-crawl, so only the metadata-only updates
+        # shrink — strictly smaller is the honest claim here
+        assert ubytes(wd_min) < ubytes(wd_full)
+
+        dec = decode_wire_events(spark.read.parquet(wd_min))
+        # presence rides the bitmap: some updates are genuinely partial
+        n_partial = dec.filter(F.size("present") < 6).count()
+        assert n_partial > 50
+        fd = os.path.join(td, "full_typed")
+        write_event_log(full, fd)
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        a = _sorted_rows(partial_state(spark.read.parquet(fd)), cols)
+        b = _sorted_rows(partial_state(dec), cols)
+        assert a == b and len(a) > 100
