@@ -40,6 +40,7 @@ def start_streaming_replay(
     processing_time: str = "1 second",
     transform=None,
     source=None,
+    partial: bool = False,
 ) -> StreamingQuery:
     """Start (or resume from checkpoint) the streaming replay query.
 
@@ -49,7 +50,14 @@ def start_streaming_replay(
 
     ``source`` (streaming DataFrame, optional) replaces the typed
     event-log source — e.g. ``sources.binlog_file.stream_binlog_files``
-    to tail RAW binlog file bytes (``event_dir`` is then ignored)."""
+    to tail RAW binlog file bytes (``event_dir`` is then ignored).
+
+    ``partial=True`` tails a ``binlog_row_image=MINIMAL`` stream: each
+    micro-batch routes through ``operators.partial.apply_partial_batch``
+    (column-level fold + touched-bucket enrichment) before the same
+    exactly-once sink commit — checkpointed batchIds stay the ledger
+    keys, so kill/resume semantics are identical to the full-image
+    tail."""
     if cfg is None:
         from ..plans.replay import default_pages_config
 
@@ -66,6 +74,14 @@ def start_streaming_replay(
 
     def apply(batch_df, batch_id: int) -> None:
         # batchId is stable across checkpointed restarts → the ledger key.
+        if partial:
+            from ..operators.partial import apply_partial_batch
+
+            res = apply_partial_batch(
+                table, f"stream-{batch_id}", batch_df, cfg
+            )
+            planner["latest"] = res.get("dup_share")
+            return
         if cfg.skew_probe != "auto" or planner["last_probe_share"] is None:
             carry = None
         elif (
@@ -115,6 +131,7 @@ def run_streaming_replay(
     timeout_sec: float | None = None,
     transform=None,
     source=None,
+    partial: bool = False,
 ) -> dict:
     """Bounded replay: process everything available, then stop."""
     q = start_streaming_replay(
@@ -128,6 +145,7 @@ def run_streaming_replay(
         available_now=True,
         transform=transform,
         source=source,
+        partial=partial,
     )
     q.awaitTermination(timeout_sec)
     if q.isActive:

@@ -245,3 +245,32 @@ def test_minimal_wire_round_trip_and_bandwidth(spark):
         a = _sorted_rows(partial_state(spark.read.parquet(fd)), cols)
         b = _sorted_rows(partial_state(dec), cols)
         assert a == b and len(a) > 100
+
+
+def test_streaming_partial_replay_equals_full(spark):
+    """MINIMAL tail through Structured Streaming: one micro-batch per
+    binlog file via apply_partial_batch, exactly-once on the same ledger
+    (checkpointed batchIds); resume after completion is a no-op."""
+    from mysql_syncer_spark.streaming.runner import run_streaming_replay
+
+    with tempfile.TemporaryDirectory() as td:
+        fd, md = _logs(td)
+        pa_path = os.path.join(td, "pages_a")
+        replay(spark, fd, pa_path, num_buckets=8)
+        pb_path = os.path.join(td, "pages_b")
+        ck = os.path.join(td, "ck")
+        run_streaming_replay(
+            spark, md, pb_path, ck, num_buckets=8, partial=True,
+            timeout_sec=300,
+        )
+        tb = PagesTable(spark, pb_path)
+        n0 = tb.n_committed()
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        assert _sorted_rows(PagesTable(spark, pa_path).read(), cols) == \
+            _sorted_rows(tb.read(), cols)
+        # resume from the same checkpoint: nothing new to process
+        run_streaming_replay(
+            spark, md, pb_path, ck, num_buckets=8, partial=True,
+            timeout_sec=120,
+        )
+        assert PagesTable(spark, pb_path).n_committed() == n0
