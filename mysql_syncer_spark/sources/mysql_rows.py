@@ -105,6 +105,29 @@ _SIGNED_INT = {"tiny": 1, "short": 2, "long": 4, "longlong": 8, "int24": 3}
 _COLTYPE_RE = re.compile(r"^([a-z]+[0-9]*)(?:\((\d+)(?:,\s*(\d+))?\))?$")
 
 
+def _apply_partial_json(before: dict, after: dict) -> dict:
+    """Fold decoded JSON diff streams into the before-image documents —
+    the consumer-side patch step of PARTIAL_UPDATE_ROWS_EVENT. Requires
+    the before image to carry the full document (binlog_row_image=FULL
+    before images, which is what MySQL pairs with PARTIAL_JSON)."""
+    import json as _json
+
+    from .json_diff import JsonDiffError, JsonDiffs, apply_json_diffs
+
+    out = dict(after)
+    for k, v in after.items():
+        if not isinstance(v, JsonDiffs):
+            continue
+        base_text = before.get(k)
+        if base_text is None:
+            raise JsonDiffError(
+                f"partial JSON for {k!r} without a before-image document"
+            )
+        doc = apply_json_diffs(_json.loads(base_text), list(v))
+        out[k] = _json.dumps(doc, separators=(",", ":"), ensure_ascii=False)
+    return out
+
+
 @dataclass(frozen=True)
 class MySQLColumn:
     """One column binding: name + MySQL type spec, e.g. ``varchar(300)``
@@ -264,7 +287,10 @@ class MySQLTableDef:
         if kind == "time2":
             return encode_time2(v, p1)
         if kind == "json":
-            b = encode_json_binary(v)
+            from .json_diff import JsonDiffs, encode_json_diffs
+
+            b = (encode_json_diffs(v) if isinstance(v, JsonDiffs)
+                 else encode_json_binary(v))
             return len(b).to_bytes(p1 or 4, "little") + b
         raise ValueError(kind)  # pragma: no cover
 
@@ -278,7 +304,15 @@ class MySQLTableDef:
     ) -> bytes:
         """Build one ROWS_EVENT payload in the reference framing. For
         ``event_type='update'`` each element of ``rows`` is a (before,
-        after) dict pair."""
+        after) dict pair.
+
+        ``event_type='update_partial'`` is MySQL 8.0's
+        PARTIAL_UPDATE_ROWS_EVENT (binlog_row_value_options=PARTIAL_JSON):
+        each AFTER image opens with a packed-int value_options and — when
+        its PARTIAL_JSON bit is set — partial_bits (one bit per JSON
+        column of the table); a JSON value given as ``JsonDiffs([...])``
+        is stored as a length-prefixed diff stream instead of a full
+        document (sources/json_diff.py)."""
         cols = self.columns
         cn = len(cols)
         used = used if used is not None else tuple(c.name for c in cols)
@@ -300,11 +334,22 @@ class MySQLTableDef:
                     bm[i // 8] |= 1 << (i % 8)
             return bytes(bm)
 
+        is_update = event_type in ("update", "update_partial")
         out += bitmap(used)
-        if event_type == "update":
+        if is_update:
             out += bitmap(used_after)
+        json_cols = [c.name for c in cols if c.parse()[0] == "json"]
 
-        def image(row: dict, names: tuple[str, ...]) -> bytes:
+        def image(row: dict, names: tuple[str, ...], partial: bool = False) -> bytes:
+            from .json_diff import JsonDiffs
+
+            pre = b""
+            if partial:
+                pb = bytearray((len(json_cols) + 7) // 8)
+                for k, name in enumerate(json_cols):
+                    if isinstance(row.get(name), JsonDiffs):
+                        pb[k // 8] |= 1 << (k % 8)
+                pre = encode_packed_int(1) + bytes(pb)  # PARTIAL_JSON bit
             nn = (un * 8 + 7) // 8
             null_bits = bytearray(nn)
             vals = bytearray()
@@ -316,11 +361,13 @@ class MySQLTableDef:
                     null_bits[j // 8] |= 1 << (j % 8)
                     continue
                 vals += self._encode_value(c, v)
-            return bytes(null_bits) + bytes(vals)
+            return pre + bytes(null_bits) + bytes(vals)
 
-        if event_type == "update":
+        if is_update:
             for before, after in rows:  # alternating images
-                out += image(before, used) + image(after, used_after)
+                out += image(before, used) + image(
+                    after, used_after, partial=(event_type == "update_partial")
+                )
         else:
             for row in rows:
                 out += image(row, used)
@@ -439,20 +486,37 @@ class MySQLTableDef:
         un = (cn + 7) // 8
         use_bits = bytes(buf[pos:pos + un])
         pos += un
+        is_update = event_type in ("update", "update_partial")
         use_after = use_bits
-        if event_type == "update":
+        if is_update:
             use_after = bytes(buf[pos:pos + un])
             pos += un
 
         cols = self.columns
+        json_cols = [c.name for c in cols if c.parse()[0] == "json"]
         rows: list[dict] = []
         before_img: dict | None = None
         is_before = True
         while pos < len(blob):
+            partial_json: set[str] = set()
+            if event_type == "update_partial" and not is_before:
+                # PARTIAL_UPDATE_ROWS_EVENT after-image prefix:
+                # value_options packed int, then (if PARTIAL_JSON bit)
+                # one partial bit per JSON column of the table
+                vopts, pos = decode_packed_int(buf, pos)
+                if vopts & 1:
+                    pbn = (len(json_cols) + 7) // 8
+                    pb = bytes(buf[pos:pos + pbn])
+                    pos += pbn
+                    partial_json = {
+                        name
+                        for k, name in enumerate(json_cols)
+                        if (pb[k // 8] >> (k % 8)) & 1
+                    }
             nn = (un * 8 + 7) // 8
             null_bits = bytes(buf[pos:pos + nn])
             pos += nn
-            ub = use_bits if (event_type != "update" or is_before) else use_after
+            ub = use_bits if (not is_update or is_before) else use_after
             row: dict = {}
             for i, c in enumerate(cols):
                 if not (ub[i // 8] >> (i % 8)) & 1:
@@ -461,17 +525,29 @@ class MySQLTableDef:
                     if c.name not in self.skip:
                         row[c.name] = None
                     continue
-                v, pos = self._decode_value(c, buf, pos, metas[i])
+                if c.name in partial_json:
+                    # length-prefixed JSON diff stream instead of a doc
+                    from .json_diff import JsonDiffs, decode_json_diffs
+
+                    width = metas[i][0]
+                    ln = int.from_bytes(buf[pos:pos + width], "little")
+                    pos += width
+                    v = JsonDiffs(decode_json_diffs(bytes(buf[pos:pos + ln])))
+                    pos += ln
+                else:
+                    v, pos = self._decode_value(c, buf, pos, metas[i])
                 if pos > len(blob):  # claimed length runs past the buffer
                     raise ValueError(
                         f"truncated row image at column {c.name!r}"
                     )
                 if c.name not in self.skip:  # pas.pos == -1 → walk, drop
                     row[c.name] = v
-            if event_type == "update":
+            if is_update:
                 if is_before:
                     before_img, is_before = row, False
                 else:
+                    if event_type == "update_partial":
+                        row = _apply_partial_json(before_img or {}, row)
                     rows.append(
                         {f"before_{k}": v for k, v in (before_img or {}).items()}
                         | {f"after_{k}": v for k, v in row.items()}
