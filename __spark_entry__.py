@@ -1225,6 +1225,166 @@ _MYSQL_TYPED_DECODE_SQL = """
 """
 
 
+def q_partial_image_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
+    """binlog_row_image=MINIMAL — column-level LWW (operators/partial.py):
+    6000 partial-image events over 211 keys, every value a pure function
+    of range(i); U events carry a ``present`` list naming the columns the
+    after-image actually ships (the used-bitmap by name), I events are
+    full images, D events tombstone. ``partial_state`` folds the whole
+    log in ONE shuffle of presence-masked max_by aggregates; the oracle
+    mirrors it with arg_max(struct_pack(...)) FILTER per column (struct
+    wrap keeps a legitimately-NULL write distinct from no-write)."""
+    from mysql_syncer_spark.operators.partial import partial_state
+
+    i = F.col("id")
+    m5 = i % 5
+    present = (
+        F.when(m5 == 0, F.array(F.lit("a")))
+        .when(m5 == 1, F.array(F.lit("b")))
+        .when(m5 == 2, F.array(F.lit("a"), F.lit("c")))
+        .when(m5 == 3, F.array(F.lit("b"), F.lit("c")))
+        .otherwise(F.lit(None).cast("array<string>"))  # full image
+    )
+    ev = spark.range(6000).select(
+        F.when(i % 17 == 0, "D").when(i % 17 == 1, "I").otherwise("U").alias("op"),
+        (i / 1000).cast("long").alias("file_seq"),
+        (i % 1000).alias("log_pos"),
+        present.alias("present"),
+        F.struct(
+            F.concat(F.lit("u"), (i % 211).cast("string")).alias("url"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + i * 1_000_000
+            ).alias("warc_ts"),
+            F.when(i % 29 != 0, i * 7).alias("a"),
+            F.when(i % 23 != 0, F.concat(F.lit("s"), (i % 13).cast("string")))
+            .alias("b"),
+            F.when(i % 31 != 0, i.cast("double") * 0.5).alias("c"),
+        ).alias("after"),
+    )
+    out = partial_state(ev, key="url")
+    return out.select(
+        "url", F.unix_micros("warc_ts").alias("warc_ts_us"), "a", "b", "c"
+    )
+
+
+_PARTIAL_IMAGE_SQL = """
+    WITH ev AS (
+      SELECT i,
+             'u' || (i % 211)::VARCHAR AS url,
+             CASE WHEN i % 17 = 0 THEN 'D'
+                  WHEN i % 17 = 1 THEN 'I' ELSE 'U' END AS op,
+             1700000000000000 + i * 1000000 AS ts_us,
+             CASE WHEN i % 29 = 0 THEN NULL ELSE i * 7 END AS a,
+             CASE WHEN i % 23 = 0 THEN NULL
+                  ELSE 's' || (i % 13)::VARCHAR END AS b,
+             CASE WHEN i % 31 = 0 THEN NULL ELSE i::DOUBLE * 0.5 END AS c,
+             (i % 17 = 1) OR (i % 17 NOT IN (0, 1) AND i % 5 IN (0, 2, 4)) AS wa,
+             (i % 17 = 1) OR (i % 17 NOT IN (0, 1) AND i % 5 IN (1, 3, 4)) AS wb,
+             (i % 17 = 1) OR (i % 17 NOT IN (0, 1) AND i % 5 IN (2, 3, 4)) AS wc
+      FROM range(6000) t(i)
+    ),
+    folded AS (
+      SELECT url,
+             max(i) FILTER (WHERE op = 'D') AS dts,
+             max(i) FILTER (WHERE op <> 'D') AS rrank,
+             arg_max(struct_pack(v := a), i) FILTER (WHERE op <> 'D' AND wa) AS va,
+             max(i) FILTER (WHERE op <> 'D' AND wa) AS ra,
+             arg_max(struct_pack(v := b), i) FILTER (WHERE op <> 'D' AND wb) AS vb,
+             max(i) FILTER (WHERE op <> 'D' AND wb) AS rb,
+             arg_max(struct_pack(v := c), i) FILTER (WHERE op <> 'D' AND wc) AS vc,
+             max(i) FILTER (WHERE op <> 'D' AND wc) AS rc
+      FROM ev GROUP BY url
+    )
+    SELECT url,
+           1700000000000000 + rrank * 1000000 AS warc_ts_us,
+           CASE WHEN ra IS NOT NULL AND (dts IS NULL OR ra > dts)
+                THEN va.v END AS a,
+           CASE WHEN rb IS NOT NULL AND (dts IS NULL OR rb > dts)
+                THEN vb.v END AS b,
+           CASE WHEN rc IS NOT NULL AND (dts IS NULL OR rc > dts)
+                THEN vc.v END AS c
+    FROM folded
+    WHERE rrank IS NOT NULL AND (dts IS NULL OR rrank > dts)
+"""
+
+
+def q_partial_json_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
+    """MySQL 8.0 PARTIAL_UPDATE_ROWS_EVENT end-to-end at the wire layout
+    (binlog_row_value_options=PARTIAL_JSON): 500 (before, after) pairs
+    packed 25-per-event, after-images carrying length-prefixed JSON diff
+    streams (REPLACE/INSERT/REMOVE + MySQL json paths, sources/
+    json_diff.py) over JSON *binary* documents (sources/json_binary.py,
+     5.7 format). The distributed decoder pairs images and folds the
+    diffs into the before documents executor-side; every value is a pure
+    function of range(j) so the oracle rebuilds the patched documents as
+    text. Key order is the JSON-binary storage order (len, then bytes) —
+    byte-identical to the oracle's concat."""
+    from mysql_syncer_spark.sources.json_diff import (
+        DIFF_INSERT,
+        DIFF_REMOVE,
+        DIFF_REPLACE,
+        JsonDiffs,
+    )
+    from mysql_syncer_spark.sources.mysql_rows import (
+        MySQLColumn,
+        MySQLTableDef,
+        decode_mysql_updates,
+    )
+
+    td = MySQLTableDef(
+        columns=(MySQLColumn("id", "long"), MySQLColumn("attrs", "json"))
+    )
+
+    def pair(j: int) -> tuple[dict, dict]:
+        before = {
+            "id": j,
+            "attrs": {"a": j, "b": f"s{j % 7}", "arr": [j, j + 1, j + 2]},
+        }
+        diffs = [
+            (DIFF_REPLACE, "$.a", j * 3),
+            (DIFF_REPLACE, "$.arr[1]", f"x{j % 5}"),
+        ]
+        if j % 3 == 0:
+            diffs.append((DIFF_REMOVE, "$.b", None))
+        if j % 4 == 0:
+            diffs.append((DIFF_INSERT, "$.z", j + 100))
+        return before, {"id": j, "attrs": JsonDiffs(diffs)}
+
+    events = [
+        (k, td.encode_rows_event(
+            [pair(j) for j in range(k * 25, (k + 1) * 25)], "update_partial"))
+        for k in range(20)
+    ]
+    df = spark.createDataFrame(events, "event_seq long, rows_event binary")
+    dec = decode_mysql_updates(
+        df, td, keep_cols=("event_seq",), partial=True
+    )
+    return dec.select(
+        "event_seq",
+        F.col("after_id").alias("id"),
+        F.col("before_attrs").alias("attrs_before"),
+        F.col("after_attrs").alias("attrs"),
+    )
+
+
+_PARTIAL_JSON_SQL = """
+    SELECT (j // 25)::BIGINT AS event_seq,
+           j::BIGINT AS id,
+           '{"a":' || j || ',"b":"s' || (j % 7) || '","arr":['
+               || j || ',' || (j + 1) || ',' || (j + 2) || ']}'
+               AS attrs_before,
+           '{"a":' || (j * 3)
+               || CASE WHEN j % 3 = 0 THEN ''
+                       ELSE ',"b":"s' || (j % 7) || '"' END
+               || ',"arr":[' || j || ',"x' || (j % 5) || '",' || (j + 2) || ']'
+               || CASE WHEN j % 4 = 0 THEN ',"z":' || (j + 100) ELSE '' END
+               || '}' AS attrs
+    FROM range(500) r(j)
+"""
+
+
 def q_engine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
     """End-to-end CDC engine: batch-replay the seeded shared event log
@@ -1657,6 +1817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_binlog_file_scan": q_binlog_file_scan,
         "cdc_mysql_typed_decode": q_mysql_typed_decode,
         "cdc_mysql_row_image": q_mysql_row_image,
+        "cdc_partial_image_state": q_partial_image_state,
+        "cdc_partial_json_update": q_partial_json_update,
         "cdc_server_id_guard": q_server_id_guard,
         "cdc_intvar_capture": q_intvar_capture,
         "cdc_event_time_windows": q_event_time_windows,
@@ -1913,6 +2075,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_mysql_typed_decode": _MYSQL_TYPED_DECODE_SQL,
         "cdc_mysql_row_image": _MYSQL_ROW_IMAGE_SQL,
+        "cdc_partial_image_state": _PARTIAL_IMAGE_SQL,
+        "cdc_partial_json_update": _PARTIAL_JSON_SQL,
         "cdc_event_time_windows": f"""
             SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                    {_OP_SQL} AS op, count(*) AS n_events

@@ -595,3 +595,49 @@ def decode_mysql_rows(
             yield out[[*keep_cols, *names]]
 
     return df.mapInPandas(mapper, schema=out_schema)
+
+
+def decode_mysql_updates(
+    df: DataFrame,
+    table_def: MySQLTableDef,
+    binary_col: str = "rows_event",
+    keep_cols: tuple[str, ...] = (),
+    used: tuple[str, ...] | None = None,
+    used_after: tuple[str, ...] | None = None,
+    partial: bool = False,
+) -> DataFrame:
+    """Arrow-batched decode of UPDATE_ROWS_EVENT /
+    PARTIAL_UPDATE_ROWS_EVENT blobs: one output row per (before, after)
+    image pair, columns prefixed ``before_``/``after_`` (the reference's
+    P5 pairing, rs_binlog_row.c alternating-image walk). With
+    ``partial=True`` the after image opens with MySQL 8.0's
+    value_options + partial bits and JSON diff streams are folded into
+    the before-image documents executor-side (sources/json_diff.py) —
+    the distributed consumer-side patch step of
+    ``binlog_row_value_options=PARTIAL_JSON``."""
+    out_fields = [f for f in df.schema.fields if f.name in keep_cols]
+    bsch = table_def.spark_schema(used)
+    asch = table_def.spark_schema(used_after if used_after is not None else used)
+    pair_fields = [
+        T.StructField(f"before_{f.name}", f.dataType) for f in bsch.fields
+    ] + [T.StructField(f"after_{f.name}", f.dataType) for f in asch.fields]
+    out_schema = T.StructType(out_fields + pair_fields)
+    names = [f.name for f in pair_fields]
+    etype = "update_partial" if partial else "update"
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            keeps = []
+            for idx, blob in enumerate(pdf[binary_col]):
+                decoded = table_def.decode_rows_event(bytes(blob), etype)
+                out_rows.extend(decoded)
+                keeps.extend([idx] * len(decoded))
+            out = pd.DataFrame(
+                [[r.get(n) for n in names] for r in out_rows], columns=names
+            )
+            for k in reversed(list(keep_cols)):
+                out.insert(0, k, pdf[k].values[keeps] if len(out) else [])
+            yield out[[*keep_cols, *names]]
+
+    return df.mapInPandas(mapper, schema=out_schema)

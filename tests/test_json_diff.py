@@ -174,3 +174,33 @@ def test_multi_row_partial_event():
             assert got == {"n": i * 10, "l": list(range(i % 4))}
         else:
             assert got == {"replaced": i}
+
+
+def test_decode_mysql_updates_distributed(spark):
+    """decode_mysql_updates: Arrow-batched UPDATE pairing with the
+    PARTIAL_JSON after-image prefix — diffs folded executor-side."""
+    from mysql_syncer_spark.sources.mysql_rows import decode_mysql_updates
+
+    rows = []
+    for i in range(40):
+        before = {"id": i, "attrs": {"n": i, "l": [i, i + 1]},
+                  "name": f"r{i}", "prefs": None}
+        after = dict(before, attrs=JsonDiffs([
+            (DIFF_REPLACE, "$.n", i * 10),
+            (DIFF_REPLACE, "$.l[0]", -i),
+        ]), name=f"r{i}!")
+        rows.append((before, after))
+    blobs = [
+        (k, TD.encode_rows_event(rows[k * 10:(k + 1) * 10], "update_partial"))
+        for k in range(4)
+    ]
+    df = spark.createDataFrame(blobs, "event_seq long, rows_event binary")
+    out = decode_mysql_updates(
+        df, TD, keep_cols=("event_seq",), partial=True
+    ).orderBy("after_id").collect()
+    assert len(out) == 40
+    for i, r in enumerate(out):
+        assert r["event_seq"] == i // 10
+        assert r["before_name"] == f"r{i}"
+        assert r["after_name"] == f"r{i}!"
+        assert json.loads(r["after_attrs"]) == {"n": i * 10, "l": [-i, i + 1]}
