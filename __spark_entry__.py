@@ -937,18 +937,27 @@ def q_merge_into_base_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shared_binlog_files(tag: str, n_events: int, events_per_file: int) -> str:
+def _shared_binlog_files(
+    tag: str,
+    n_events: int,
+    events_per_file: int,
+    gtid_uuid: str | None = None,
+    checksum: str | None = None,
+) -> str:
     """Byte-faithful binlog FILE fixture derived from the SAME parquet
     bytes the shared typed log holds (so the DuckDB oracle and the file
-    scanner describe one stream)."""
+    scanner describe one stream). ``gtid_uuid``/``checksum`` opt into
+    5.6+ GTID framing / CRC32 trailers (separate fixture dirs — the
+    GTID-less census contract stays byte-stable)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from mysql_syncer_spark.sources.binlog_file import encode_binlog_files
 
     typed_dir = _shared_event_log(tag, n_events, events_per_file)
+    variant = ("-gtid" if gtid_uuid else "") + (f"-{checksum}" if checksum else "")
     d = os.path.join(
-        _SHARED_LOG_ROOT, f"binfiles-{tag}-{n_events}-{events_per_file}"
+        _SHARED_LOG_ROOT, f"binfiles-{tag}-{n_events}-{events_per_file}{variant}"
     )
     marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):
@@ -959,7 +968,9 @@ def _shared_binlog_files(tag: str, n_events: int, events_per_file: int) -> str:
         for fn in sorted(os.listdir(typed_dir))
         if fn.startswith("binlog-") and fn.endswith(".parquet")
     ]
-    encode_binlog_files(pa.concat_tables(tables), tmp)
+    encode_binlog_files(
+        pa.concat_tables(tables), tmp, gtid_uuid=gtid_uuid, checksum=checksum
+    )
     open(os.path.join(tmp, "_SUCCESS"), "w").close()
     try:
         os.rename(tmp, d)
@@ -988,6 +999,55 @@ def q_binlog_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_images").cast("long").alias("n_images"),
         F.col("url_hash_sum").cast("long").alias("url_hash_sum"),
         F.col("ts_us_sum").cast("long").alias("ts_us_sum"),
+    )
+
+
+_GTID_UUID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"  # MySQL docs example sid
+
+
+def q_gtid_resume_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
+    """Resume-from-GTID over RAW binlog FILE bytes (MySQL 5.6+ framing +
+    CRC32 trailers, the server default): a consumer that died after
+    transaction G restarts with ``after_gtid`` — the PREVIOUS_GTIDS
+    header index prunes to the containing file, one scan finds the byte
+    offset past G's closing event, and the partial first batch lands
+    under an offset-qualified ledger id. The pre-G prefix is applied
+    first (what the dead consumer had committed), so the final state
+    must equal plain whole-log LWW — the same oracle as the flagship
+    replay. Exercises: GTID set encode/decode, gtid_position pruning,
+    CRC32 verification, QUERY-DDL passthrough, exactly-once ledger."""
+    from mysql_syncer_spark.plans.replay import default_pages_config, replay_binlog
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+    from mysql_syncer_spark.sources.binlog_file import read_binlog_files
+    from mysql_syncer_spark.sources.wire_log import decode_wire_events
+
+    d = _shared_binlog_files(
+        "replay", 2_000, 1_000, gtid_uuid=_GTID_UUID, checksum="crc32"
+    )
+    cfg = default_pages_config()
+    env = read_binlog_files(spark, d, include_gtid=True)
+    gno_col = F.split("gtid", ":").getItem(1).cast("long")
+    g = int(
+        env.where("file_seq = 0")
+        .agg(F.max(gno_col).alias("g"))
+        .head()["g"]
+    )
+
+    table_path = os.path.join(tempfile.mkdtemp(prefix="entry_gtid_"), "pages")
+    t = PagesTable.create(spark, table_path, num_buckets=8)
+    t.apply_batch("prefix", decode_wire_events(env.where(gno_col <= g)), cfg)
+    replay_binlog(
+        spark, d, table_path, num_buckets=8,
+        after_gtid=f"{_GTID_UUID}:{g}",
+    )
+    out = PagesTable(spark, table_path).read()
+    return out.select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_ts_us"),
+        "text",
+        "lang",
+        "extra_v2",
     )
 
 
@@ -1815,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_into_base_join": q_merge_into_base_join,
         "cdc_engine_replay_final_state": q_engine_replay,
         "cdc_binlog_file_scan": q_binlog_file_scan,
+        "cdc_gtid_resume_state": q_gtid_resume_state,
         "cdc_mysql_typed_decode": q_mysql_typed_decode,
         "cdc_mysql_row_image": q_mysql_row_image,
         "cdc_partial_image_state": q_partial_image_state,
@@ -1978,6 +2039,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE w.op IS NULL OR w.op <> 'D'
         """,
         "cdc_engine_replay_final_state": f"""
+            WITH ev AS (
+                SELECT after.url AS url, after.warc_ts AS warc_ts,
+                       after.html AS html, after.lang AS lang,
+                       after.extra AS extra, op, file_seq, log_pos
+                FROM read_parquet('{_shared_event_log("replay", 2_000, 1_000)}/binlog-*.parquet')
+                WHERE op IN ('I','U','D')),
+            w AS (SELECT *,
+                         row_number() OVER (PARTITION BY url
+                                            ORDER BY warc_ts DESC, file_seq DESC,
+                                                     log_pos DESC) AS rn
+                  FROM ev)
+            SELECT url, epoch_us(warc_ts) AS warc_ts_us,
+                   {_EXTRACT_SQL} AS text,
+                   lang, extra AS extra_v2
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_gtid_resume_state": f"""
             WITH ev AS (
                 SELECT after.url AS url, after.warc_ts AS warc_ts,
                        after.html AS html, after.lang AS lang,
