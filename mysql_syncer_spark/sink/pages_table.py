@@ -887,21 +887,40 @@ class PagesTable:
                     ddls = ddl_index.get(bid, [])
                     for d in ddls:
                         self._apply_ddl(plan_m, d)
-                    events = op_filter(
-                        oversized_ddl_filter(table_filter(events, [cfg.name]))
-                    )
                     mapping = dict(plan_m.column_mapping)
+                    target_types = dict(plan_m.schema)
+                    physical = dict(plan_m.physical or {})
+                    carry = carry_for_submit()  # ordered: stays on main
                     t0 = time.time()
-                    fut = ex.submit(
-                        self._write_batch_delta,
-                        events,
-                        cfg,
-                        mapping,
-                        m.num_buckets,
-                        carry_salted=carry_for_submit(),
-                        target_types=dict(plan_m.schema),
-                        physical=dict(plan_m.physical or {}),
-                    )
+
+                    # the filter graph (F1/F3 + op routing) is built INSIDE
+                    # the worker thread: ~100ms of py4j column construction
+                    # per batch that would otherwise serialize on the main
+                    # thread between commits (measured as part of the
+                    # per-batch floor at every cluster size)
+                    def work(
+                        events=events,
+                        mapping=mapping,
+                        carry=carry,
+                        target_types=target_types,
+                        physical=physical,
+                    ):
+                        filtered = op_filter(
+                            oversized_ddl_filter(
+                                table_filter(events, [cfg.name])
+                            )
+                        )
+                        return self._write_batch_delta(
+                            filtered,
+                            cfg,
+                            mapping,
+                            m.num_buckets,
+                            carry_salted=carry,
+                            target_types=target_types,
+                            physical=physical,
+                        )
+
+                    fut = ex.submit(work)
                     inflight.append((bid, ddls, t0, fut))
                     while len(inflight) >= depth:
                         commit_head()
