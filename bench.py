@@ -390,7 +390,7 @@ def main() -> None:
     spark.range(2_000_000).selectExpr("sum(id)").collect()  # warmup
     qs = dict(entrymod.queries())
 
-    # bench-only queries for ops outside the 50-query contract surface
+    # bench-only queries for ops outside the 53-query contract surface
     # (their correctness oracles live in pytest, not the driver gate)
     def _q_unigram_nll(spark, sf):
         from mysql_syncer_spark.functions.text import unigram_nll
