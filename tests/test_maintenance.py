@@ -316,3 +316,68 @@ def test_ledger_gap_warns_on_skipped_id(spark, event_log_dir):
         res = t.apply_batch("fileseq-3", ev.filter(F.col("file_seq") == 1), None)
     assert res["skipped"] is not True
     assert "fileseq-3" in t.manifest().committed_batches  # held explicit
+
+
+def test_tiered_fold_leaves_base_untouched(spark, event_log_dir):
+    """Size-tiered threshold compaction (LSM minor/major split): once a
+    bucket has a dominant base vintage, threshold folds merge ONLY the
+    delta tail — the base dir stays in the manifest unrewritten — and the
+    merged read stays oracle-exact. A major fold (tail grown past the
+    ratio) or explicit compact() still folds to one vintage."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from mysql_syncer_spark.generator import GenSpec, generate_events
+    from mysql_syncer_spark.sources.event_log import read_event_log
+
+    tbl = generate_events(GenSpec(n_events=4_000, events_per_file=100))
+    d = tempfile.mkdtemp(prefix="tiered_")
+    from mysql_syncer_spark.generator import write_event_log
+
+    write_event_log(tbl, d)
+    ev = read_event_log(spark, d)
+    path = os.path.join(tempfile.mkdtemp(prefix="tiered_t_"), "pages")
+    t = PagesTable.create(spark, path, num_buckets=4, compact_threshold=2)
+    from mysql_syncer_spark.plans.replay import default_pages_config
+
+    cfg = default_pages_config()
+
+    # batch 0 = 3/4 of the log → the base vintage; then 100-event deltas.
+    # Pin the size gauge (at toy scale parquet's fixed per-file footer/
+    # dict overhead and column compression make on-disk bytes non-
+    # proportional to rows, so the real stat would legitimately choose
+    # major folds): base dirs read huge, deltas tiny → folds MUST stay
+    # minor, proving subset-fold correctness + base preservation.
+    t.apply_batch("fileseq-0", ev.filter(F.col("file_seq") <= 29), cfg)
+    base_dirs = {
+        b: lst[0] for b, lst in t.manifest().buckets.items()
+    }
+    base_set = set(base_dirs.values())
+    t._dir_bytes = lambda rel: 1_000_000 if rel in base_set else 10
+    for seq in range(30, 36):
+        t.apply_batch(
+            f"fileseq-{seq}", ev.filter(F.col("file_seq") == seq), cfg
+        )
+    m = t.manifest()
+    # folds fired (6 deltas, threshold 2) and every one was MINOR: the
+    # tail keeps collapsing while the ORIGINAL base dir is never rewritten
+    for b, base in base_dirs.items():
+        assert len(m.buckets[b]) == 2, (b, m.buckets[b])
+        assert base in m.buckets[b], f"minor fold rewrote the base of {b}"
+
+    # drain the rest with the REAL size gauge (later folds may
+    # legitimately go major) — state stays exact throughout
+    del t._dir_bytes
+    for seq in range(36, 40):
+        t.apply_batch(
+            f"fileseq-{seq}", ev.filter(F.col("file_seq") == seq), cfg
+        )
+    oracle, _, _ = sequential_replay(tbl)
+    assert_state_equal(t.read().collect(), oracle)
+
+    # explicit maintenance compact() keeps FULL-fold semantics
+    t.compact()
+    m2 = t.manifest()
+    assert all(len(lst) == 1 for lst in m2.buckets.values())
+    assert_state_equal(t.read().collect(), oracle)
