@@ -41,8 +41,15 @@ def start_streaming_replay(
     transform=None,
     source=None,
     partial: bool = False,
+    progress_log: bool = False,
 ) -> StreamingQuery:
     """Start (or resume from checkpoint) the streaming replay query.
+
+    ``progress_log=True`` registers a ``ProgressLogListener`` (D5): every
+    micro-batch's source offsets / row counts / trigger latency append to
+    ``<table>/_metrics/stream_progress.jsonl``. The listener object is
+    exposed as ``query._msss_listener`` so a caller can
+    ``spark.streams.removeListener`` it when the tail stops.
 
     ``transform`` (DataFrame -> DataFrame, optional) runs on the source
     stream before the sink — e.g. ``sources.wire_log.decode_wire_events``
@@ -117,7 +124,17 @@ def start_streaming_replay(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    listener = None
+    if progress_log:
+        from .listener import ProgressLogListener
+
+        listener = ProgressLogListener(
+            os.path.join(table_path, "_metrics"), query_name="cdc_replay"
+        )
+        spark.streams.addListener(listener)
+    q = writer.start()
+    q._msss_listener = listener
+    return q
 
 
 def run_streaming_replay(
@@ -132,6 +149,7 @@ def run_streaming_replay(
     transform=None,
     source=None,
     partial: bool = False,
+    progress_log: bool = False,
 ) -> dict:
     """Bounded replay: process everything available, then stop."""
     q = start_streaming_replay(
@@ -146,10 +164,31 @@ def run_streaming_replay(
         transform=transform,
         source=source,
         partial=partial,
+        progress_log=progress_log,
     )
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+    if q._msss_listener is not None:
+        # the listener bus is async but ORDERED: once this query's
+        # terminated event lands in the log, every progress line before
+        # it has been flushed — safe to deregister without losing the
+        # final micro-batch's row
+        import time as _time
+
+        from .listener import read_progress_log
+
+        mdir = os.path.join(table_path, "_metrics")
+        qid = str(q.id)
+        deadline = _time.time() + 15
+        while _time.time() < deadline:
+            if any(
+                r.get("event") == "terminated" and r.get("id") == qid
+                for r in read_progress_log(mdir)
+            ):
+                break
+            _time.sleep(0.1)
+        spark.streams.removeListener(q._msss_listener)
     table = PagesTable(spark, table_path)
     return {
         "table_path": table_path,

@@ -83,3 +83,44 @@ def test_windowed_op_counts_stream_equals_batch(spark, event_log_dir, tmp_path):
         for r in spark.sql("select * from win_counts").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_progress_log_listener_records_micro_batches(spark, tmp_path):
+    """D5 source-side observability: the bounded tail with
+    progress_log=True persists one JSON line per micro-batch (rows,
+    offsets, trigger latency) under the table's _metrics dir, and the
+    row totals reconcile with the events consumed."""
+    import os
+    import tempfile
+
+    from mysql_syncer_spark.generator import GenSpec, generate_events, write_event_log
+    from mysql_syncer_spark.streaming.listener import read_progress_log
+    from mysql_syncer_spark.streaming.runner import run_streaming_replay
+
+    tbl = generate_events(GenSpec(n_events=900, events_per_file=300))
+    d = tempfile.mkdtemp(prefix="prog_")
+    write_event_log(tbl, d)
+    table_path = str(tmp_path / "pages")
+    run_streaming_replay(
+        spark, d, table_path, str(tmp_path / "ckpt"), num_buckets=4,
+        timeout_sec=240, progress_log=True,
+    )
+    rows = read_progress_log(os.path.join(table_path, "_metrics"))
+    prog = [r for r in rows if r["event"] == "progress"]
+    assert len(prog) == 3  # one per binlog file (maxFilesPerTrigger=1)
+    # numInputRows counts every ACTION's scan of the micro-batch (probe /
+    # DDL collect / write re-read the source), so it gauges per-batch read
+    # amplification; exact applied counts live in the table's commit
+    # metrics (events_in). Each batch read its file at least once.
+    assert all(r["num_input_rows"] >= 300 for r in prog)
+    assert all(r["trigger_ms"] is not None for r in prog)
+    assert all(r["sources"] and r["sources"][0]["end_offset"] for r in prog)
+    # started/terminated bracket the run
+    assert rows[0]["event"] == "started"
+    # listener was removed: a second, listener-less run appends nothing
+    n_lines = len(rows)
+    run_streaming_replay(
+        spark, d, table_path, str(tmp_path / "ckpt"), num_buckets=4,
+        timeout_sec=240,
+    )
+    assert len(read_progress_log(os.path.join(table_path, "_metrics"))) == n_lines
