@@ -285,6 +285,42 @@ def decode_debezium(
     return out
 
 
+def debezium_dead_letters(
+    df: DataFrame,
+    value_col: str = "value",
+    payload_struct: T.StructType = DEBEZIUM_PAYLOAD_STRUCT,
+) -> DataFrame:
+    """The rejects of ``decode_debezium``, with a reason — the dead-letter
+    queue every long-running CDC tail needs (Kafka Connect DLQ parity):
+    route these raw lines to a quarantine sink instead of losing them
+    silently. Deterministic split: a line lands in exactly one of
+    decode_debezium / debezium_dead_letters. JVM-only like the decode."""
+    v = F.from_json(F.col(value_col), debezium_value_schema(payload_struct))
+    p = "parsed.payload"
+    is_ddl = F.col(f"{p}.ddl").isNotNull()
+    op = (
+        F.when(is_ddl, F.lit("DDL"))
+        .when(F.col(f"{p}.op").isin("c", "r"), F.lit("I"))
+        .when(F.col(f"{p}.op") == "u", F.lit("U"))
+        .when(F.col(f"{p}.op") == "d", F.lit("D"))
+    )
+    ddl_kind = _ddl_struct_from_sql(F.col(f"{p}.ddl"))["kind"]
+    reason = (
+        F.when(F.col(p).isNull(), F.lit("unparseable_json"))
+        .when(op.isNull(), F.lit("unknown_op"))
+        .when(is_ddl & ddl_kind.isNull(), F.lit("unsupported_ddl"))
+    )
+    return (
+        df.withColumn("parsed", v)
+        .withColumn("_reject_reason", reason)
+        .filter(F.col("_reject_reason").isNotNull())
+        .select(
+            F.col(value_col).alias("raw_value"),
+            F.col("_reject_reason").alias("reason"),
+        )
+    )
+
+
 def _payload_to_json(side: str, payload_struct: T.StructType) -> Column:
     cols = []
     for f in payload_struct.fields:

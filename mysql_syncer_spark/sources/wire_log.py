@@ -364,6 +364,65 @@ def decode_wire_events(
     return df.mapInPandas(mapper, schema=out_schema)
 
 
+def wire_dead_letters(
+    df: DataFrame, table_def: MySQLTableDef | None = None
+) -> DataFrame:
+    """The rejects of ``decode_wire_events(on_error='skip')``, with the
+    decode error — the dead-letter queue (Kafka Connect DLQ parity):
+    quarantine undecodable blobs with enough context (envelope + raw
+    bytes + reason) to replay them after a codec fix, instead of losing
+    them silently. Deterministic: a row lands in exactly one of
+    decode_wire_events / wire_dead_letters, so checkpoint replays stay
+    consistent. Same Arrow-batched shape as the decoder; errors are rare
+    so this second pass over the (pushed-down, pruned) scan is the
+    standard split-the-stream pattern rather than a per-row tag column
+    on the hot path."""
+    td = table_def or PAGES_WIRE_TABLE
+    out_schema = T.StructType(
+        [
+            T.StructField("log_pos", T.LongType(), True),
+            T.StructField("file_seq", T.IntegerType(), True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+            T.StructField("rows_event", T.BinaryType(), True),
+            T.StructField("query", T.StringType(), True),
+            T.StructField("reason", T.StringType(), True),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kept, reasons = [], []
+            for idx, (blob, op, query) in enumerate(
+                zip(pdf["rows_event"], pdf["op"], pdf["query"])
+            ):
+                try:
+                    if op == "DDL":
+                        parse_ddl_query(query)
+                    elif op == "U":
+                        td.decode_rows_event(bytes(blob), "update")
+                    else:
+                        td.decode_rows_event(bytes(blob), "write")
+                except Exception as e:  # mirror decode's skip set exactly
+                    kept.append(idx)
+                    reasons.append(f"{type(e).__name__}: {e}")
+            if not kept:
+                continue
+            yield pd.DataFrame(
+                {
+                    "log_pos": pdf["log_pos"].values[kept],
+                    "file_seq": pdf["file_seq"].values[kept],
+                    "op": pdf["op"].values[kept],
+                    "table": pdf["table"].values[kept],
+                    "rows_event": pdf["rows_event"].values[kept],
+                    "query": pdf["query"].values[kept],
+                    "reason": reasons,
+                }
+            )
+
+    return df.mapInPandas(mapper, schema=out_schema)
+
+
 def wire_def_for(
     schema: T.StructType, cols: list[str]
 ) -> tuple[MySQLTableDef, set[str]]:

@@ -195,3 +195,29 @@ def test_debezium_streaming_tail(spark, tmp_path):
     a = key(PagesTable(spark, stream_path).read())
     b = key(PagesTable(spark, batch_path).read())
     assert a == b and len(a) > 0
+
+
+def test_debezium_dead_letters_complement_decode(spark):
+    """DLQ split (Kafka Connect parity): each line lands in exactly one
+    of decode_debezium / debezium_dead_letters, with a typed reason."""
+    from mysql_syncer_spark.sources.debezium import debezium_dead_letters
+
+    lines = [
+        '{"payload": {"after": {"url": "u1"}, "source": {"db": "web",'
+        ' "table": "pages", "file": "mysql-bin.000001", "pos": 1},'
+        ' "op": "c"}}',
+        'garbage',
+        '{"payload": {"after": {"url": "u2"}, "source": {"db": "web",'
+        ' "table": "pages", "file": "mysql-bin.000001", "pos": 2},'
+        ' "op": "z"}}',
+        '{"payload": {"source": {"file": "mysql-bin.000001", "pos": 3},'
+        ' "databaseName": "web", "ddl": "TRUNCATE TABLE pages"}}',
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    kept = decode_debezium(df).collect()
+    dead = {r["raw_value"]: r["reason"] for r in debezium_dead_letters(df).collect()}
+    assert [r["log_pos"] for r in kept] == [1]
+    assert len(dead) == 3
+    assert dead["garbage"] == "unparseable_json"
+    assert dead[lines[2]] == "unknown_op"
+    assert dead[lines[3]] == "unsupported_ddl"

@@ -357,3 +357,34 @@ def _chained_ddl_batch(spark, col):
           ("add_column", col, None, "string"))],
         schema,
     )
+
+
+def test_wire_dead_letters_complement_skip(spark):
+    """DLQ split: every event lands in exactly one of decode(on_error=
+    'skip') / wire_dead_letters, rejects carry envelope + raw blob +
+    reason — quarantine-and-replay instead of silent loss."""
+    from mysql_syncer_spark.sources.mysql_rows import MySQLColumn, MySQLTableDef
+    from mysql_syncer_spark.sources.wire_log import wire_dead_letters
+
+    td = MySQLTableDef(
+        columns=(MySQLColumn("uid", "longlong"), MySQLColumn("name", "varchar(40)"))
+    )
+    good = td.encode_rows_event([{"uid": 1, "name": "ok"}], "write")
+    rows = [
+        (1, 0, 1, "I", "db.users", 0, good, None),
+        (2, 0, 1, "I", "db.users", 0, good[: len(good) - 3], None),
+        (3, 0, 1, "DDL", "db.users", 0, None, "DROP TABLE nope"),
+        (4, 0, 1, "I", "db.users", 0, good, None),
+    ]
+    schema = (
+        "log_pos long, file_seq int, server_id int, op string, table string, "
+        "tx_id long, rows_event binary, query string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    kept = decode_wire_events(df, table_def=td, on_error="skip").collect()
+    dead = wire_dead_letters(df, table_def=td).collect()
+    assert sorted(r["log_pos"] for r in kept) == [1, 4]
+    assert sorted(r["log_pos"] for r in dead) == [2, 3]
+    by_pos = {r["log_pos"]: r for r in dead}
+    assert "ValueError" in by_pos[3]["reason"]
+    assert bytes(by_pos[2]["rows_event"]) == bytes(good[: len(good) - 3])
