@@ -196,6 +196,12 @@ SF1_EVIDENCE_PATH = os.path.join(REPO, "BENCH", "sf1_r3.json")
 
 SF1_EVENTS = 10_000_000
 
+# Engine-era tag stamped on every new sf1 attempt: bump when a
+# perf-relevant engine change lands, so the aggregate can report the
+# CURRENT engine's median alongside the all-attempts one (attempts are
+# never dropped — both series stay published, unconditioned).
+SF1_ENGINE_ERA = "r4-tiered-compaction"
+
 
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
@@ -260,6 +266,64 @@ def _sf1_aggregate(attempts: list[dict], n_cores: int, n4_cores: int) -> dict:
         max(0.0, a["wall_sec_4n"] - a["single_batch_wall_sec_4n"]) / 40
         for a in attempts
     ]
+    # Current-engine series: attempts tagged with the present engine era
+    # measured THIS code; earlier attempts measured earlier engines. Both
+    # medians are published — nothing is dropped, and the era series only
+    # appears once it has attempts, so this is a code-versioning split,
+    # not a resample.
+    era = [a for a in attempts if a.get("engine_era") == SF1_ENGINE_ERA]
+    era_block = {}
+    if era:
+        era_ratios = [a["wall_sec_n"] / a["wall_sec_4n"] for a in era]
+        era_normed = [
+            (a["wall_sec_n"] / a["wall_sec_4n"])
+            / (a["sha2_wall_sec_n"] / a["sha2_wall_sec_4n"])
+            for a in era
+            if a.get("sha2_wall_sec_n") and a.get("sha2_wall_sec_4n")
+        ]
+        era_block = {
+            "current_engine": {
+                "engine_era": SF1_ENGINE_ERA,
+                "attempts": len(era),
+                "speedup_n_to_4n": round(_median(era_ratios), 3),
+                "scaling_efficiency_n_to_4n": round(_median(era_ratios) / 4, 3),
+                **(
+                    {"efficiency_vs_sha2_ceiling": round(_median(era_normed), 3)}
+                    if era_normed
+                    else {}
+                ),
+                "per_batch_overhead_4n": {
+                    "batches_20": round(
+                        _median(
+                            [
+                                max(
+                                    0.0,
+                                    a["wall_sec_4n_20files"]
+                                    - a["single_batch_wall_sec_4n"],
+                                )
+                                / 20
+                                for a in era
+                            ]
+                        ),
+                        2,
+                    ),
+                    "batches_40": round(
+                        _median(
+                            [
+                                max(
+                                    0.0,
+                                    a["wall_sec_4n"]
+                                    - a["single_batch_wall_sec_4n"],
+                                )
+                                / 40
+                                for a in era
+                            ]
+                        ),
+                        2,
+                    ),
+                },
+            }
+        }
     return {
         "n_events": SF1_EVENTS,
         "html_repeat": 8,
@@ -300,6 +364,7 @@ def _sf1_aggregate(attempts: list[dict], n_cores: int, n4_cores: int) -> dict:
             "batches_20": round(_median(per20), 2),
             "batches_40": round(_median(per40), 2),
         },
+        **era_block,
         "attempts": attempts,
     }
 
@@ -341,6 +406,7 @@ def _sf1_evidence(warm_dir: str, n_cores: int, n4_cores: int) -> dict | None:
     hi20 = replay_at(n4_cores, d20, warm_dir, depth=4)
     hi1 = replay_at(n4_cores, d1, warm_dir)
     attempt = {
+        "engine_era": SF1_ENGINE_ERA,
         "wall_sec_n": lo40["wall_sec"],
         "wall_sec_4n": hi40["wall_sec"],
         "wall_sec_4n_20files": hi20["wall_sec"],

@@ -107,6 +107,36 @@ def test_sf1_evidence_aggregation_is_median_based():
     assert a["wall_sec_4n_20files"] == 133.24
 
 
+def test_sf1_engine_era_split_reports_current_series():
+    """Attempts measure the engine AS OF their run; after a perf-relevant
+    change the aggregate ALSO reports the current-era median alongside
+    the all-attempts one (code-versioning split, nothing dropped)."""
+    import bench
+
+    old = {
+        "wall_sec_n": 300.0, "wall_sec_4n": 120.0,
+        "wall_sec_4n_20files": 120.0, "single_batch_wall_sec_4n": 60.0,
+    }
+    new = {
+        "engine_era": bench.SF1_ENGINE_ERA,
+        "wall_sec_n": 300.0, "wall_sec_4n": 90.0,
+        "wall_sec_4n_20files": 100.0, "single_batch_wall_sec_4n": 60.0,
+        "sha2_wall_sec_n": 40.0, "sha2_wall_sec_4n": 10.0,
+    }
+    agg = bench._sf1_aggregate([old, new], 1, 4)
+    cur = agg["current_engine"]
+    assert cur["attempts"] == 1
+    assert cur["speedup_n_to_4n"] == round(300.0 / 90.0, 3)
+    assert cur["efficiency_vs_sha2_ceiling"] == round((300 / 90) / 4.0, 3)
+    assert cur["per_batch_overhead_4n"]["batches_20"] == 2.0
+    # all-attempts headline unchanged by the split
+    assert agg["multi_batch_40_files"]["speedup_n_to_4n"] == round(
+        ((300 / 120) + (300 / 90)) / 2, 3
+    )
+    # no era attempts → no block
+    assert "current_engine" not in bench._sf1_aggregate([old], 1, 4)
+
+
 def test_sf1_ceiling_normalization_over_paired_windows():
     """Round-5 hardware-ceiling fields: attempts carrying a same-window
     sha2 pair contribute engine_ratio/ceiling_ratio; attempts without
