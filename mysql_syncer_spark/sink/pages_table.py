@@ -693,15 +693,17 @@ class PagesTable:
             over = [
                 b for b, lst in m.buckets.items() if len(lst) > m.compact_threshold
             ]
+            # metric counts buckets the fold PLAN actually touched, not
+            # merely past-threshold — _plan_fold may skip some or all
+            n_compacted = 0
             if over and inline_compact:
                 fold_map = self._plan_fold(m, over)
                 if fold_map:
                     self._compact_buckets(
                         m, list(fold_map), bid, fold_map=fold_map
                     )
+                    n_compacted = len(fold_map)
                     mark("compaction")
-            elif not inline_compact:
-                over = []
             m.committed_batches.append(bid)
             # inline ledger fold: contiguous numeric ids collapse into the
             # prefix watermark ON EVERY COMMIT, so the manifest stays
@@ -736,7 +738,7 @@ class PagesTable:
                 "max_key_rows": delta["max_key_rows"],
                 "skew_probed": bool(delta.get("skew_probed", True)),
                 "dup_share": delta.get("dup_share", 0.0),
-                "compacted_buckets": len(over),
+                "compacted_buckets": n_compacted,
             }
             try:
                 self._commit(m)

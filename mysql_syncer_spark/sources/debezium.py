@@ -150,7 +150,9 @@ def _payload_from_json(side: str, payload_struct: T.StructType) -> Column:
 
 # DDL statement → typed struct, JVM regexps (same grammar as
 # wire_log.parse_ddl_query, evaluated columnar instead of per-row Python).
-_DDL_TBL_RE = r"(?i)ALTER TABLE `?(\w+)`?"
+# optional `db`. qualifier: real Debezium schema-history topics commonly
+# carry "ALTER TABLE `db`.`pages` ..." — capture the TABLE, not the db
+_DDL_TBL_RE = r"(?i)ALTER TABLE (?:`?\w+`?\.)?`?(\w+)`?"
 _DDL_ADD_RE = r"(?i)ALTER TABLE \S+ ADD COLUMN `?(\w+)`? (\w+)"
 _DDL_RENAME_RE = r"(?i)ALTER TABLE \S+ RENAME COLUMN `?(\w+)`? TO `?(\w+)`?"
 _DDL_DROP_RE = r"(?i)ALTER TABLE \S+ DROP COLUMN `?(\w+)`?"
@@ -473,16 +475,26 @@ def write_debezium_json(
     writes per rotation file (fixture-side; volumes here are test-scale)."""
     os.makedirs(out_dir, exist_ok=True)
     enc = encode_debezium(events, server_name)
-    rows = enc.orderBy("file_seq", "log_pos").collect()
+    # toLocalIterator streams one partition at a time to the driver —
+    # the whole topic is never resident at once (the old .collect() was a
+    # memory foot-gun sitting next to production entry points)
+    it = enc.orderBy("file_seq", "log_pos").toLocalIterator()
     paths: list[str] = []
-    by_seq: dict[int, list[str]] = {}
-    for r in rows:
-        by_seq.setdefault(int(r["file_seq"]), []).append(r["value"])
-    for seq, lines in sorted(by_seq.items()):
-        path = os.path.join(out_dir, f"topic-{seq:06d}.jsonl")
-        with open(path, "w", encoding="utf-8") as fh:
-            fh.write("\n".join(lines) + "\n")
-        paths.append(path)
+    cur_seq, fh = None, None
+    try:
+        for r in it:
+            seq = int(r["file_seq"])
+            if seq != cur_seq:
+                if fh is not None:
+                    fh.close()
+                cur_seq = seq
+                path = os.path.join(out_dir, f"topic-{seq:06d}.jsonl")
+                fh = open(path, "w", encoding="utf-8")
+                paths.append(path)
+            fh.write(r["value"] + "\n")
+    finally:
+        if fh is not None:
+            fh.close()
     return paths
 
 
@@ -514,25 +526,52 @@ def replay_debezium_json(
     exactly-once commit per source binlog file (batch_id = file_seq, same
     ledger keys as plans.replay so a later binlog/wire replay of the same
     stream is a no-op). DDL rides in-stream and applies before each
-    batch's merge, transactionally with it."""
+    batch's merge, transactionally with it.
+
+    File-pruned like plans.replay: the writer names one file per binlog
+    file_seq (``topic-{seq:06d}.jsonl``), so each batch reads EXACTLY its
+    own file — O(files) total bytes over a replay. Foreign archives whose
+    names don't follow that convention fall back to a content filter
+    (file_seq parsed out of the JSON) over the full dir, which re-scans
+    the archive once per batch — fixture-scale only."""
+    import glob
+    import re
+
     from ..plans.replay import default_pages_config
     from ..sink.pages_table import PagesTable
 
     cfg = cfg or default_pages_config()
-    events = read_debezium_json(spark, json_dir)
     if PagesTable.exists(table_path):
         table = PagesTable(spark, table_path)
     else:
         table = PagesTable.create(spark, table_path, num_buckets=num_buckets)
-    seqs = [
-        r["file_seq"]
-        for r in events.select("file_seq").distinct().orderBy("file_seq").collect()
-    ]
+    named: dict[int, str] = {}
+    for p in glob.glob(os.path.join(json_dir, "topic-*.jsonl")):
+        m = re.fullmatch(r"topic-(\d+)\.jsonl", os.path.basename(p))
+        if m:
+            named[int(m.group(1))] = p
+    if named:  # one-file-per-batch read: never rescans the archive
+        per_seq = [
+            (seq, read_debezium_json(spark, path))
+            for seq, path in sorted(named.items())
+        ]
+    else:  # foreign layout: content filter (O(files) scans per batch)
+        events = read_debezium_json(spark, json_dir)
+        seqs = [
+            r["file_seq"]
+            for r in events.select("file_seq")
+            .distinct()
+            .orderBy("file_seq")
+            .collect()
+        ]
+        per_seq = [
+            (seq, events.filter(F.col("file_seq") == seq)) for seq in seqs
+        ]
     results = []
-    for seq in seqs:
+    for seq, batch_events in per_seq:
         res = table.apply_batch(
             batch_id=f"fileseq-{seq}",
-            events=events.filter(F.col("file_seq") == seq),
+            events=batch_events,
             cfg=cfg,
         )
         results.append(res)

@@ -365,7 +365,9 @@ def decode_wire_events(
 
 
 def wire_dead_letters(
-    df: DataFrame, table_def: MySQLTableDef | None = None
+    df: DataFrame,
+    table_def: MySQLTableDef | None = None,
+    to_payload=None,
 ) -> DataFrame:
     """The rejects of ``decode_wire_events(on_error='skip')``, with the
     decode error — the dead-letter queue (Kafka Connect DLQ parity):
@@ -376,8 +378,17 @@ def wire_dead_letters(
     consistent. Same Arrow-batched shape as the decoder; errors are rare
     so this second pass over the (pushed-down, pruned) scan is the
     standard split-the-stream pattern rather than a per-row tag column
-    on the hot path."""
+    on the hot path.
+
+    Pass the SAME ``table_def``/``to_payload`` given to
+    ``decode_wire_events`` — the try block below re-runs decode AND the
+    payload convert step, so the skip sets match exactly (a row whose
+    bytes decode but whose convert raises — e.g. invalid UTF-8 in a text
+    column — lands here, not nowhere)."""
     td = table_def or PAGES_WIRE_TABLE
+    convert = to_payload if to_payload is not None else (
+        _wire_to_payload if table_def is None else (lambda d: d)
+    )
     out_schema = T.StructType(
         [
             T.StructField("log_pos", T.LongType(), True),
@@ -400,9 +411,17 @@ def wire_dead_letters(
                     if op == "DDL":
                         parse_ddl_query(query)
                     elif op == "U":
-                        td.decode_rows_event(bytes(blob), "update")
+                        d = td.decode_rows_event(bytes(blob), "update")[0]
+                        convert(
+                            {k[7:]: v for k, v in d.items()
+                             if k.startswith("before_")}
+                        )
+                        convert(
+                            {k[6:]: v for k, v in d.items()
+                             if k.startswith("after_")}
+                        )
                     else:
-                        td.decode_rows_event(bytes(blob), "write")
+                        convert(td.decode_rows_event(bytes(blob), "write")[0])
                 except Exception as e:  # mirror decode's skip set exactly
                     kept.append(idx)
                     reasons.append(f"{type(e).__name__}: {e}")

@@ -41,9 +41,15 @@ class ProgressLogListener(StreamingQueryListener):
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, "stream_progress.jsonl")
         self.query_name = query_name
+        # query ids seen starting under our name — terminated events carry
+        # no name, so the filter matches them by id
+        self._ids: set[str] = set()
 
     # -- StreamingQueryListener interface ------------------------------
     def onQueryStarted(self, event) -> None:
+        if self.query_name is not None and event.name != self.query_name:
+            return
+        self._ids.add(str(event.id))
         self._append(
             {"event": "started", "id": str(event.id), "runId": str(event.runId),
              "name": event.name}
@@ -78,6 +84,8 @@ class ProgressLogListener(StreamingQueryListener):
         self._append(row)
 
     def onQueryTerminated(self, event) -> None:
+        if self.query_name is not None and str(event.id) not in self._ids:
+            return
         self._append(
             {"event": "terminated", "id": str(event.id),
              "exception": event.exception}

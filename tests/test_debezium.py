@@ -221,3 +221,55 @@ def test_debezium_dead_letters_complement_decode(spark):
     assert dead["garbage"] == "unparseable_json"
     assert dead[lines[2]] == "unknown_op"
     assert dead[lines[3]] == "unsupported_ddl"
+
+
+def test_debezium_ddl_qualified_table_name(spark):
+    """Schema-history topics commonly carry db-qualified DDL
+    ("ALTER TABLE `db`.`pages` ..."); the table extractor must capture
+    the TABLE, not the database (else events route to 'db.db')."""
+    lines = [
+        '{"payload": {"source": {"server_id": 7, "file": "mysql-bin.000002",'
+        ' "pos": 21}, "databaseName": "web",'
+        ' "ddl": "ALTER TABLE `web`.`pages` ADD COLUMN `extra` string"}}',
+        '{"payload": {"source": {"server_id": 7, "file": "mysql-bin.000002",'
+        ' "pos": 22}, "databaseName": "web",'
+        ' "ddl": "ALTER TABLE web.pages DROP COLUMN lang"}}',
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    rows = {r["log_pos"]: r for r in decode_debezium(df).collect()}
+    assert rows[21]["table"] == "web.pages"
+    assert rows[21]["ddl"].asDict()["col"] == "extra"
+    assert rows[22]["table"] == "web.pages"
+    assert rows[22]["ddl"].asDict() == {
+        "kind": "drop_column", "col": "lang", "new_name": None, "dtype": None,
+    }
+
+
+def test_debezium_replay_reads_one_file_per_batch(spark, tmp_path, monkeypatch):
+    """File-pruned replay: with the writer's topic-{seq:06d}.jsonl naming,
+    each batch's scan reads EXACTLY its own file — O(files) total bytes
+    over a replay, never an O(files^2) archive rescan."""
+    import os as _os
+
+    import mysql_syncer_spark.sink.pages_table as pt
+
+    tbl = generate_events(GenSpec(n_events=600, events_per_file=200))
+    d_json = tempfile.mkdtemp(prefix="dbz_prune_")
+    d_typed = tempfile.mkdtemp(prefix="dbz_prune_typed_")
+    write_event_log(tbl, d_typed)
+    paths = write_debezium_json(read_event_log(spark, d_typed), d_json)
+    assert len(paths) == 3
+
+    seen: list[list[str]] = []
+
+    def spy(self, batch_id, events, cfg=None, **kw):
+        seen.append(sorted(events.inputFiles()))
+        return {"events_in": 0, "skipped": False}
+
+    monkeypatch.setattr(pt.PagesTable, "apply_batch", spy)
+    replay_debezium_json(spark, d_json, str(tmp_path / "t"), num_buckets=4)
+    assert len(seen) == 3
+    for files in seen:
+        assert len(files) == 1, files
+    got = sorted(_os.path.basename(f[0]) for f in seen)
+    assert got == sorted(_os.path.basename(p) for p in paths)

@@ -124,3 +124,53 @@ def test_progress_log_listener_records_micro_batches(spark, tmp_path):
         timeout_sec=240,
     )
     assert len(read_progress_log(os.path.join(table_path, "_metrics"))) == n_lines
+
+
+def test_progress_listener_filters_other_queries(spark, tmp_path):
+    """query_name filtering covers started/terminated too: in a shared
+    SparkSession running several streams, another query's lifecycle
+    events must not interleave into this table's stream_progress.jsonl."""
+    import time
+
+    from mysql_syncer_spark.streaming.listener import (
+        ProgressLogListener,
+        read_progress_log,
+    )
+
+    out = str(tmp_path / "metrics")
+    lst = ProgressLogListener(out, query_name="mine")
+    spark.streams.addListener(lst)
+    try:
+        src = spark.readStream.format("rate").option("rowsPerSecond", 10).load()
+        q_other = (
+            src.writeStream.format("noop")
+            .queryName("other")
+            .option("checkpointLocation", str(tmp_path / "ck1"))
+            .start()
+        )
+        q_mine = (
+            src.writeStream.format("noop")
+            .queryName("mine")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .start()
+        )
+        time.sleep(4)
+        q_other.stop()
+        q_mine.stop()
+        q_other.awaitTermination(30)
+        q_mine.awaitTermination(30)
+        # listener callbacks are async — wait for the terminated line
+        for _ in range(50):
+            rows = read_progress_log(out)
+            if any(r["event"] == "terminated" for r in rows):
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(lst)
+    rows = read_progress_log(out)
+    assert rows, "no rows logged for the named query"
+    names = {r.get("name") for r in rows if r["event"] in ("started", "progress")}
+    assert names <= {"mine"}, names
+    started_ids = {r["id"] for r in rows if r["event"] == "started"}
+    term_ids = {r["id"] for r in rows if r["event"] == "terminated"}
+    assert term_ids <= started_ids, (term_ids, started_ids)

@@ -388,3 +388,38 @@ def test_wire_dead_letters_complement_skip(spark):
     by_pos = {r["log_pos"]: r for r in dead}
     assert "ValueError" in by_pos[3]["reason"]
     assert bytes(by_pos[2]["rows_event"]) == bytes(good[: len(good) - 3])
+
+
+def test_wire_dead_letters_cover_convert_failures(spark):
+    """A blob that DECODES but whose payload convert raises (invalid
+    UTF-8 in the text column) lands in the DLQ, not nowhere: the DLQ
+    re-runs the same convert step as decode_wire_events, so the two
+    streams partition the input exactly."""
+    from mysql_syncer_spark.sources.wire_log import (
+        PAGES_WIRE_TABLE,
+        wire_dead_letters,
+    )
+
+    ok = {
+        "url": "u1", "warc_ts_us": 0, "html": b"<p>", "text": b"fine",
+        "lang": "en", "extra": None,
+    }
+    bad = dict(ok, url="u2", text=b"\xff\xfe\xfa")  # invalid UTF-8
+    good_blob = PAGES_WIRE_TABLE.encode_rows_event([ok], "write")
+    bad_blob = PAGES_WIRE_TABLE.encode_rows_event([bad], "write")
+    schema = (
+        "log_pos long, file_seq int, server_id int, op string, table string, "
+        "tx_id long, rows_event binary, query string"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, 0, 1, "I", "web.pages", 0, good_blob, None),
+            (2, 0, 1, "I", "web.pages", 0, bad_blob, None),
+        ],
+        schema,
+    )
+    kept = decode_wire_events(df, on_error="skip").collect()
+    dead = wire_dead_letters(df).collect()
+    assert [r["log_pos"] for r in kept] == [1]
+    assert [r["log_pos"] for r in dead] == [2]
+    assert "UnicodeDecodeError" in dead[0]["reason"]
