@@ -1076,6 +1076,90 @@ def _shared_debezium_topic(
         return d if os.path.exists(marker) else tmp
 
 
+def _shared_debezium_avro_topic(
+    spark: SparkSession, tag: str, n_events: int, events_per_file: int
+) -> str:
+    """Registry-framed Avro topic archive (Confluent wire format) derived
+    from the SAME typed log as the JSON twin — one stream, three wire
+    formats, one oracle."""
+    from mysql_syncer_spark.sources.debezium_avro import write_debezium_avro
+    from mysql_syncer_spark.sources.event_log import read_event_log
+
+    typed_dir = _shared_event_log(tag, n_events, events_per_file)
+    d = os.path.join(
+        _SHARED_LOG_ROOT, f"dbzavro-{tag}-{n_events}-{events_per_file}"
+    )
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    tmp = d + f".tmp-{os.getpid()}"
+    write_debezium_avro(read_event_log(spark, typed_dir), tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, d)
+        return d
+    except OSError:
+        return d if os.path.exists(marker) else tmp
+
+
+def q_debezium_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
+    """Debezium AVRO envelope decode (the schema-registry wire format
+    production Kafka topics carry: 0x00 magic + 4-byte schema id + Avro
+    binary body — sources/debezium_avro.py): typed log → framed Avro
+    messages → Arrow-batched decode back to the typed envelope. The
+    oracle reads the ORIGINAL typed parquet, so any encode OR decode
+    infidelity (zigzag varints, union framing, micros timestamps, op
+    mapping, DELETE image placement, DDL statement round-trip, tx ids)
+    breaks the value hash. Same census shape as cdc_debezium_decode —
+    one stream, two wire formats, one oracle."""
+    from mysql_syncer_spark.sources.debezium_avro import read_debezium_avro
+
+    d = _shared_debezium_avro_topic(spark, "replay", 2_000, 1_000)
+    ev = read_debezium_avro(spark, d)
+    return ev.select(
+        F.col("file_seq").cast("int").alias("file_seq"),
+        F.col("log_pos").cast("long").alias("log_pos"),
+        "op",
+        "table",
+        F.col("tx_id").cast("long").alias("tx_id"),
+        F.col("server_id").cast("int").alias("server_id"),
+        F.col("after.url").alias("url"),
+        F.unix_micros("after.warc_ts").alias("warc_ts_us"),
+        F.md5(F.col("after.html")).alias("html_md5"),
+        F.col("after.text").alias("text"),
+        F.col("after.lang").alias("lang"),
+        F.col("after.extra").alias("extra"),
+        F.col("before.url").alias("before_url"),
+        F.col("ddl.kind").alias("ddl_kind"),
+        F.col("ddl.col").alias("ddl_col"),
+    )
+
+
+def q_debezium_avro_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
+    """End-to-end replay FROM an Avro topic archive: framed Avro →
+    Arrow decode → per-source-file exactly-once batches (file-pruned by
+    topic-file naming) → LWW merge + DDL + extraction. Final state must
+    equal plain whole-log LWW over the original typed log — the flagship
+    oracle. A Debezium+registry user can point their Avro topic dumps at
+    this engine and get reference semantics."""
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+    from mysql_syncer_spark.sources.debezium_avro import replay_debezium_avro
+
+    d = _shared_debezium_avro_topic(spark, "replay", 2_000, 1_000)
+    table_path = os.path.join(tempfile.mkdtemp(prefix="entry_dbzavro_"), "pages")
+    replay_debezium_avro(spark, d, table_path, num_buckets=8)
+    out = PagesTable(spark, table_path).read()
+    return out.select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_ts_us"),
+        "text",
+        "lang",
+        "extra_v2",
+    )
+
+
 def q_debezium_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
     """Debezium-envelope decode (the de-facto MySQL CDC JSON wire format —
@@ -1958,6 +2042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_gtid_resume_state": q_gtid_resume_state,
         "cdc_debezium_decode": q_debezium_decode,
         "cdc_debezium_replay_state": q_debezium_replay_state,
+        "cdc_debezium_avro_decode": q_debezium_avro_decode,
+        "cdc_debezium_avro_replay_state": q_debezium_avro_replay_state,
         "cdc_mysql_typed_decode": q_mysql_typed_decode,
         "cdc_mysql_row_image": q_mysql_row_image,
         "cdc_partial_image_state": q_partial_image_state,
@@ -2166,6 +2252,36 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_shared_event_log("replay", 2_000, 1_000)}/binlog-*.parquet')
         """,
         "cdc_debezium_replay_state": f"""
+            WITH ev AS (
+                SELECT after.url AS url, after.warc_ts AS warc_ts,
+                       after.html AS html, after.lang AS lang,
+                       after.extra AS extra, op, file_seq, log_pos
+                FROM read_parquet('{_shared_event_log("replay", 2_000, 1_000)}/binlog-*.parquet')
+                WHERE op IN ('I','U','D')),
+            w AS (SELECT *,
+                         row_number() OVER (PARTITION BY url
+                                            ORDER BY warc_ts DESC, file_seq DESC,
+                                                     log_pos DESC) AS rn
+                  FROM ev)
+            SELECT url, epoch_us(warc_ts) AS warc_ts_us,
+                   {_EXTRACT_SQL} AS text,
+                   lang, extra AS extra_v2
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # the Avro wire format decodes/replays the SAME shared typed log
+        # as the JSON twin — identical oracles by construction
+        "cdc_debezium_avro_decode": f"""
+            SELECT file_seq::INT AS file_seq, log_pos AS log_pos, op,
+                   "table", tx_id, server_id::INT AS server_id,
+                   after.url AS url, epoch_us(after.warc_ts) AS warc_ts_us,
+                   CASE WHEN after.html IS NULL THEN NULL
+                        ELSE md5(decode(after.html)) END AS html_md5,
+                   after.text AS text, after.lang AS lang,
+                   after.extra AS extra, before.url AS before_url,
+                   ddl.kind AS ddl_kind, ddl.col AS ddl_col
+            FROM read_parquet('{_shared_event_log("replay", 2_000, 1_000)}/binlog-*.parquet')
+        """,
+        "cdc_debezium_avro_replay_state": f"""
             WITH ev AS (
                 SELECT after.url AS url, after.warc_ts AS warc_ts,
                        after.html AS html, after.lang AS lang,

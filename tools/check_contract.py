@@ -1,10 +1,16 @@
 """Self-check of the __spark_entry__ contract against the DuckDB oracle —
 a local mimic of the driver's CORRECTNESS gate (row-count + schema + order-
 insensitive value equality). Run: python tools/check_contract.py [sf_dir]
-"""
+
+When run over the FULL surface (no query filter), also writes
+``CORRECTNESS_local.json`` at the repo root — the driver's per-round gate
+rotates 50 of the 55 queries, so this artifact is the in-repo record that
+every entry query has a green check from this round (round-4 verdict
+item 6)."""
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -80,6 +86,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -88,6 +95,7 @@ def main() -> int:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            record[name] = {"status": "fail", "err": f"spark: {e}"}
             n_fail += 1
             continue
         if name not in oracles:
@@ -95,21 +103,24 @@ def main() -> int:
                 f"rows  {name}: {len(spark_pdf)} rows, "
                 f"cols={sorted(spark_pdf.columns)} ({time.time()-t0:.1f}s) [no oracle]"
             )
+            record[name] = {"status": "rows_only", "rows": len(spark_pdf)}
             n_rows_only += 1
             continue
         try:
             duck_pdf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            record[name] = {"status": "fail", "err": f"duckdb: {e}"}
             n_fail += 1
             continue
         ok = True
+        err = None
         if len(spark_pdf) != len(duck_pdf):
-            print(f"FAIL  {name}: rowcount {len(spark_pdf)} != {len(duck_pdf)}")
+            err = f"rowcount {len(spark_pdf)} != {len(duck_pdf)}"
             ok = False
         elif sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
-            print(
-                f"FAIL  {name}: cols {sorted(spark_pdf.columns)} != "
+            err = (
+                f"cols {sorted(spark_pdf.columns)} != "
                 f"{sorted(duck_pdf.columns)}"
             )
             ok = False
@@ -117,8 +128,8 @@ def main() -> int:
             # the driver hashes TYPED values — a DuckDB HUGEINT (sum())
             # against a Spark BIGINT fails there even when values match,
             # so the local gate must be just as strict
-            print(
-                f"FAIL  {name}: dtype mismatch (spark vs oracle): "
+            err = (
+                "dtype mismatch (spark vs oracle): "
                 f"{dtype_mismatches(spark_pdf, duck_pdf)}"
             )
             ok = False
@@ -126,14 +137,34 @@ def main() -> int:
             a, b = rows_key(spark_pdf), rows_key(duck_pdf)
             if a != b:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                print(f"FAIL  {name}: values differ, first diffs: {diffs}")
+                err = f"values differ, first diffs: {diffs}"
                 ok = False
         if ok:
             print(f"PASS  {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            record[name] = {
+                "status": "pass",
+                "rows": len(spark_pdf),
+                "sec": round(time.time() - t0, 1),
+            }
             n_pass += 1
         else:
+            print(f"FAIL  {name}: {err}")
+            record[name] = {"status": "fail", "err": err}
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if only is None:  # full-surface run: persist the in-repo record
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        art = {
+            "sf_dir": sf_dir,
+            "checked": len(record),
+            "pass": n_pass,
+            "fail": n_fail,
+            "rows_only": n_rows_only,
+            "queries": record,
+        }
+        with open(os.path.join(repo, "CORRECTNESS_local.json"), "w") as f:
+            json.dump(art, f, indent=1, default=str)
+        print(f"wrote CORRECTNESS_local.json ({len(record)} queries)")
     spark.stop()
     return 1 if n_fail else 0
 
