@@ -1920,12 +1920,14 @@ def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # MIXED real formats: every fifth image is WebP VP8L (pure-python
-    # codec), every third a baseline JPEG (numpy Huffman+DCT), the rest
-    # PNG — one meta pass over all three
+    # codec), every third a JPEG — alternating baseline and PROGRESSIVE
+    # SOF2 (the dominant web split) — the rest PNG; one meta pass over all
     rows = [
         (i, make_image_bytes(
             i, w=32 + (i % 4) * 8, h=24, c=3,
-            fmt="webp" if i % 5 == 0 else "jpeg" if i % 3 == 0 else "png",
+            fmt="webp" if i % 5 == 0
+            else ("jpeg_progressive" if i % 2 else "jpeg") if i % 3 == 0
+            else "png",
         ))
         for i in range(200)
     ]

@@ -1,11 +1,17 @@
-"""Pure numpy baseline JPEG codec (ITU-T T.81 sequential DCT).
+"""Pure numpy JPEG codec (ITU-T T.81): baseline sequential DCT AND
+progressive DCT (SOF2).
 
-No PIL/libjpeg exists in this container; this implements the baseline
-subset the web's dominant image format actually uses: 8-bit samples,
-Huffman entropy coding (standard Annex K tables on encode; ANY tables on
+No PIL/libjpeg exists in this container; this implements the subsets the
+web's dominant image format actually uses: 8-bit samples, Huffman
+entropy coding (standard Annex K tables on encode; ANY tables on
 decode), grayscale or YCbCr color, arbitrary chroma sampling factors on
 decode (4:4:4 / 4:2:2 / 4:2:0 with nearest-neighbor upsampling), restart
-markers, FF00 byte stuffing. Progressive (SOF2) and arithmetic coding
+markers, FF00 byte stuffing, and — progressive — spectral selection +
+successive approximation in all four scan kinds (DC first/refine, AC
+first/refine with EOB runs), coefficients accumulated across scans and
+reconstructed with one vectorized IDCT. Progressive ENCODE uses the
+classic ten-scan script with EOB runs capped at 1 so the standard
+Annex K tables stay legal. Arithmetic coding and hierarchical mode
 raise ``NotImplementedError`` — callers fall back to the metadata probe
 (``multimodal.jpeg_meta``).
 
@@ -359,6 +365,7 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
     restart = 0
+    coefs = None  # progressive: per-component coefficient accumulators
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("corrupt marker stream")
@@ -389,28 +396,50 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 vals = list(body[q + 17: q + 17 + n])
                 huff[(cls, tid)] = _build_decoder(bits, vals)
                 q += 17 + n
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + ci * 3: 9 + ci * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
+            raise NotImplementedError(
+                f"unsupported JPEG frame type SOF marker {marker:#x} "
+                "(arithmetic/lossless/hierarchical)"
+            )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xD9:  # EOI
+            break
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
             scan = {}
+            order = []
             for si in range(ns):
                 cid, tt = body[1 + si * 2: 3 + si * 2]
                 scan[cid] = (tt >> 4, tt & 0xF)
+                order.append(cid)
             br = _BitReader(b, pos + 2 + seg_len)
-            return _decode_scan(frame, scan, qts, huff, br, restart)
+            if not frame.get("progressive"):
+                return _decode_scan(frame, scan, qts, huff, br, restart)
+            # progressive: accumulate this scan's coefficients, continue
+            # the marker walk from wherever the entropy segment ended
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ab = body[3 + 2 * ns]
+            if coefs is None:
+                coefs = _init_prog_coefs(frame)
+            _prog_scan(frame, order, scan, huff, br, restart, coefs,
+                       ss, se, ab >> 4, ab & 0xF)
+            pos = br.pos
+            continue
         pos += 2 + seg_len
+    if frame is not None and frame.get("progressive") and coefs is not None:
+        return _reconstruct_prog(frame, coefs, qts)
     raise ValueError("JPEG has no scan")
 
 
@@ -462,6 +491,10 @@ def _decode_scan(frame, scan, qts, huff, br, restart) -> np.ndarray:
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0: y0 + 8, x0: x0 + 8] = px
+    return _planes_to_image(planes, comps, hmax, vmax, h, w)
+
+
+def _planes_to_image(planes, comps, hmax, vmax, h, w) -> np.ndarray:
     out = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -476,3 +509,431 @@ def _decode_scan(frame, scan, qts, huff, br, restart) -> np.ndarray:
     bch = y + 1.772 * cb
     rgb = np.stack([r, g, bch], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive DCT (SOF2) — T.81 G.2: spectral selection + successive
+# approximation. Scans accumulate into per-component coefficient arrays
+# (zigzag order); reconstruction is one vectorized dequant + IDCT.
+# ---------------------------------------------------------------------------
+
+def _prog_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _init_prog_coefs(frame) -> list[np.ndarray]:
+    _, _, mcus_x, mcus_y = _prog_geometry(frame)
+    return [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _ni_grid(frame, c) -> tuple[int, int]:
+    """Non-interleaved block grid of one component (T.81 A.2.2): blocks
+    cover ceil(x·h/hmax) × ceil(y·v/vmax) samples, NOT the MCU-padded
+    plane."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8  # (block rows, block cols)
+
+
+def _prog_scan(frame, order, scan, huff, br, restart, coefs,
+               ss, se, ah, al) -> None:
+    comps = frame["comps"]
+    members = []
+    for cid in order:
+        for ci, c in enumerate(comps):
+            if c["id"] == cid:
+                members.append((ci, c))
+    if ss == 0:  # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        if len(members) > 1:
+            _prog_dc_interleaved(frame, members, scan, huff, br, restart,
+                                 coefs, ah, al)
+        else:
+            _prog_dc_single(frame, members[0], scan, huff, br, restart,
+                            coefs, ah, al)
+    else:  # AC scan: exactly one component, non-interleaved
+        if len(members) != 1:
+            raise ValueError("interleaved AC scan in progressive JPEG")
+        _prog_ac(frame, members[0], scan, huff, br, restart, coefs,
+                 ss, se, ah, al)
+
+
+def _prog_dc_interleaved(frame, members, scan, huff, br, restart, coefs,
+                         ah, al) -> None:
+    _, _, mcus_x, mcus_y = _prog_geometry(frame)
+    pred = {ci: 0 for ci, _ in members}
+    n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and n and n % restart == 0:
+                br.sync_restart()
+                pred = {ci: 0 for ci, _ in members}
+            n += 1
+            for ci, c in members:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        _dc_unit(br, huff, scan, c, coefs[ci], row, col,
+                                 pred, ci, ah, al)
+
+
+def _prog_dc_single(frame, member, scan, huff, br, restart, coefs,
+                    ah, al) -> None:
+    ci, c = member
+    bh, bw = _ni_grid(frame, c)
+    pred = {ci: 0}
+    n = 0
+    for row in range(bh):
+        for col in range(bw):
+            if restart and n and n % restart == 0:
+                br.sync_restart()
+                pred = {ci: 0}
+            n += 1
+            _dc_unit(br, huff, scan, c, coefs[ci], row, col, pred, ci,
+                     ah, al)
+
+
+def _dc_unit(br, huff, scan, c, arr, row, col, pred, ci, ah, al) -> None:
+    if ah == 0:  # first scan: diff-coded, point-transformed values
+        dc_t = huff[(0, scan[c["id"]][0])]
+        cat = _decode_huff(br, dc_t)
+        diff = _extend(br.bits(cat), cat) if cat else 0
+        pred[ci] += diff
+        arr[row, col, 0] = pred[ci] << al
+    else:  # refinement: one bit per block at position Al
+        if br.bit():
+            arr[row, col, 0] |= 1 << al
+
+
+def _prog_ac(frame, member, scan, huff, br, restart, coefs,
+             ss, se, ah, al) -> None:
+    ci, c = member
+    ac_t = huff[(1, scan[c["id"]][1])]
+    bh, bw = _ni_grid(frame, c)
+    arr = coefs[ci]
+    eobrun = 0
+    n = 0
+    for row in range(bh):
+        for col in range(bw):
+            if restart and n and n % restart == 0:
+                br.sync_restart()
+                eobrun = 0
+            n += 1
+            blk = arr[row, col]
+            if ah == 0:
+                eobrun = _ac_first_block(br, ac_t, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, ac_t, blk, ss, se, al, eobrun)
+
+
+def _ac_first_block(br, ac_t, blk, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, ac_t)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:  # EOBn: run of (1<<r)+bits(r) all-EOB blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, ac_t, blk, ss, se, al, eobrun) -> int:
+    """T.81 G.2 AC successive-approximation refinement: correction bits
+    for already-nonzero coefficients ride inline; new coefficients
+    appear as ±1<<Al."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, ac_t)
+            r, s = rs >> 4, rs & 0xF
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement symbol")
+                s_val = p1 if br.bit() else m1
+            # advance over r zero-history coefficients, reading a
+            # correction bit at every nonzero-history one passed
+            while k <= se:
+                if blk[k] != 0:
+                    if br.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s_val and k <= se:
+                blk[k] = s_val
+            k += 1
+    if eobrun > 0:
+        # EOB region: correction bits for the remaining nonzero-history
+        # coefficients of THIS block, then the run covers later blocks
+        while k <= se:
+            if blk[k] != 0 and br.bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_prog(frame, coefs, qts) -> np.ndarray:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax, _, _ = _prog_geometry(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        arr = coefs[ci]  # (bh, bw, 64) zigzag order
+        qt_zz = qts[c["tq"]].flatten()[ZIGZAG].astype(np.float64)
+        deq = arr.astype(np.float64) * qt_zz
+        bh, bw = arr.shape[:2]
+        nat = np.zeros((bh, bw, 64))
+        nat[..., ZIGZAG] = deq
+        blocks = nat.reshape(bh, bw, 8, 8)
+        px = np.einsum("ij,rcjk,kl->rcil", _C.T, blocks, _C) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _planes_to_image(planes, comps, hmax, vmax, h, w)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixture/test side — the web's producers are real
+# libjpeg/mozjpeg). Classic ten-scan script; EOB runs capped at 1 so the
+# standard Annex K Huffman tables stay sufficient (they carry EOB=0x00
+# but not the EOBn symbols 0x10..0xE0).
+# ---------------------------------------------------------------------------
+
+def _quantize_components(img: np.ndarray, quality: int):
+    """Forward path shared with the baseline encoder's math: pad, level
+    shift, 8x8 DCT, quantize; returns zigzag-ordered int coefficient
+    grids per component."""
+    if img.dtype != np.uint8:
+        raise ValueError("8-bit images only")
+    gray = img.ndim == 2 or img.shape[2] == 1
+    h, w = img.shape[:2]
+    if gray:
+        comps = [img.reshape(h, w).astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = (-0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1]
+              + 0.5 * rgb[..., 2] + 128)
+        cr = (0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1]
+              - 0.081312 * rgb[..., 2] + 128)
+        comps = [y, cb, cr]
+    qts = [_quality_scale(_LUM_QT, quality).reshape(8, 8)]
+    if not gray:
+        qts.append(_quality_scale(_CHR_QT, quality).reshape(8, 8))
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    out = []
+    for ci, cpl in enumerate(comps):
+        p = np.empty((ph, pw))
+        p[:h, :w] = cpl
+        p[h:, :w] = cpl[h - 1: h, :]
+        p[:, w:] = p[:, w - 1: w]
+        p -= 128.0
+        bh, bw = ph // 8, pw // 8
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        dct = np.einsum("ij,rcjk,kl->rcil", _C, blocks, _C.T)
+        qt = qts[0 if (gray or ci == 0) else 1]
+        q = np.round(dct / qt).astype(np.int32)
+        out.append(q.reshape(bh, bw, 64)[..., ZIGZAG])
+    return gray, h, w, out, qts
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 (H, W) grayscale or (H, W, 3) RGB → progressive (SOF2) JPEG
+    bytes — spectral selection + successive approximation, 4:4:4,
+    standard Huffman tables. Decodes to EXACTLY the pixels the baseline
+    encoding of the same image decodes to (same quantized coefficients,
+    different scan order on the wire)."""
+    gray, h, w, comps_zz, qts = _quantize_components(img, quality)
+    ncomp = 1 if gray else 3
+    dc_codes = [_build_codes(*_DC_LUM), _build_codes(*_DC_CHR)]
+    ac_codes = [_build_codes(*_AC_LUM), _build_codes(*_AC_CHR)]
+
+    # (component list, Ss, Se, Ah, Al) — the classic libjpeg-shaped script
+    if gray:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([1], 1, 63, 0, 1),
+            ([2], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    for i, qt in enumerate(qts):
+        out += seg(0xDB, bytes([i]) + bytes(qt.flatten()[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        ti = 0 if ci == 0 else 1
+        sof += bytes([ci + 1, 0x11, ti])
+    out += seg(0xC2, sof)
+    for cls, (bits, vals), tid in (
+        (0, _DC_LUM, 0), (1, _AC_LUM, 0), (0, _DC_CHR, 1), (1, _AC_CHR, 1),
+    )[: 2 if gray else 4]:
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    for comp_ids, ss, se, ah, al in script:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            ti = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (ti << 4) | ti])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        bw_ = _BitWriter()
+        if ss == 0:
+            _enc_dc_scan(bw_, comps_zz, comp_ids, gray, dc_codes, ah, al)
+        else:
+            _enc_ac_scan(bw_, comps_zz[comp_ids[0]],
+                         ac_codes[0 if comp_ids[0] == 0 else 1],
+                         ss, se, ah, al)
+        out += bw_.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _enc_dc_scan(bw_, comps_zz, comp_ids, gray, dc_codes, ah, al) -> None:
+    # all components share one (4:4:4) block grid here, so the MCU walk
+    # is the grid walk with one block per component per MCU
+    bh, bwid = comps_zz[0].shape[:2]
+    pred = {ci: 0 for ci in comp_ids}
+    for row in range(bh):
+        for col in range(bwid):
+            for ci in comp_ids:
+                dc = int(comps_zz[ci][row, col, 0])
+                if ah == 0:  # first: diff-code the point-transformed DC
+                    v = dc >> al
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    cat = _category(diff)
+                    code, ln = dc_codes[0 if ci == 0 else 1][cat]
+                    bw_.put(code, ln)
+                    if cat:
+                        bw_.put(_amplitude(diff, cat), cat)
+                else:  # refinement: emit bit Al of each DC
+                    bw_.put((dc >> al) & 1, 1)
+
+
+def _enc_ac_scan(bw_, comp_zz, codes, ss, se, ah, al) -> None:
+    bh, bwid = comp_zz.shape[:2]
+    for row in range(bh):
+        for col in range(bwid):
+            blk = comp_zz[row, col]
+            if ah == 0:
+                _enc_ac_first_block(bw_, blk, ss, se, al, codes)
+            else:
+                _enc_ac_refine_block(bw_, blk, ss, se, al, codes)
+
+
+def _enc_ac_first_block(bw_, blk, ss, se, al, codes) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(blk[k])
+        t2 = (t if t >= 0 else -t) >> al
+        if t2 == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = codes[0xF0]
+            bw_.put(code, ln)
+            r -= 16
+        v = t2 if t >= 0 else -t2
+        cat = t2.bit_length()
+        code, ln = codes[(r << 4) | cat]
+        bw_.put(code, ln)
+        bw_.put(_amplitude(v, cat), cat)
+        r = 0
+    if r:  # EOB (run capped at 1: plain 0x00, no EOBn symbols needed)
+        code, ln = codes[0x00]
+        bw_.put(code, ln)
+
+
+def _enc_ac_refine_block(bw_, blk, ss, se, al, codes) -> None:
+    absv = {}
+    eob = 0
+    for k in range(ss, se + 1):
+        t = int(blk[k])
+        t = (t if t >= 0 else -t) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k  # last NEWLY-nonzero coefficient
+    r = 0
+    pending: list[int] = []  # buffered correction bits
+
+    def flush_bits():
+        for b in pending:
+            bw_.put(b, 1)
+        pending.clear()
+
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            code, ln = codes[0xF0]
+            bw_.put(code, ln)
+            r -= 16
+            flush_bits()
+        if t > 1:  # history-nonzero: buffer its correction bit
+            pending.append(t & 1)
+            continue
+        # newly nonzero: (run, 1) symbol + sign bit + buffered bits
+        code, ln = codes[(r << 4) | 1]
+        bw_.put(code, ln)
+        bw_.put(1 if int(blk[k]) >= 0 else 0, 1)
+        flush_bits()
+        r = 0
+    if r > 0 or pending:  # EOB covers the tail; corrections ride after it
+        code, ln = codes[0x00]
+        bw_.put(code, ln)
+        flush_bits()

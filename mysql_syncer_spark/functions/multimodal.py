@@ -12,10 +12,12 @@ REAL WAV** (round 3): RIFF/WAVE PCM16 encoded and chunk-walked by
 ``encode_wav``/``parse_wav`` (pure struct, tolerates extra LIST/fact
 chunks); the legacy ``PCM1`` frame stays accepted. **JPEG is REAL
 end-to-end** (round 4): ``jpeg_meta`` walks T.81 marker segments to the
-SOF frame header, and ``jpeg_codec.py`` is a pure-numpy baseline
+SOF frame header, and ``jpeg_codec.py`` is a pure-numpy
 Huffman+DCT codec — encode (4:4:4, Annex K tables) AND pixel decode
-(any-table baseline, chroma subsampling, restart markers); progressive
-raises. **WebP lossless is REAL end-to-end** (round 5): ``webp_meta``
+(any-table baseline, chroma subsampling, restart markers); since round
+5 **progressive (SOF2) decodes for real too** — spectral selection +
+successive approximation, all four scan kinds, EOB runs — plus a
+ten-scan progressive encoder for fixtures. **WebP lossless is REAL end-to-end** (round 5): ``webp_meta``
 walks RIFF chunks to VP8/VP8L/VP8X, and ``webp_codec.py`` is a
 pure-python VP8L codec — full-featured decode (prefix codes, LZ77,
 color cache, meta groups, all four transforms) + a literal-subset
@@ -81,6 +83,12 @@ def make_image_bytes(
         from .jpeg_codec import encode_jpeg
 
         return encode_jpeg(img if c != 1 else img[:, :, 0], quality=90)
+    if fmt == "jpeg_progressive":  # SOF2 successive approximation
+        from .jpeg_codec import encode_jpeg_progressive
+
+        return encode_jpeg_progressive(
+            img if c != 1 else img[:, :, 0], quality=90
+        )
     if fmt == "gif":
         from .gif_codec import encode_gif
 
@@ -275,7 +283,7 @@ def _decode_image_pixels(b: bytes) -> np.ndarray:
     if b[:2] == b"\xff\xd8":  # real JPEG — pure-numpy baseline decoder
         from .jpeg_codec import decode_jpeg
 
-        return decode_jpeg(b)  # raises NotImplementedError for progressive
+        return decode_jpeg(b)  # baseline AND progressive (SOF2)
     if b[:4] == b"GIF8":  # real GIF — LZW decode, first frame as RGB
         from .gif_codec import decode_gif
 

@@ -142,13 +142,108 @@ def test_chroma_subsampled_420_decode(restart):
             mcu, got[0, 0], want)
 
 
-def test_progressive_raises():
-    img = _gradient(16, 16)
-    b = bytearray(encode_jpeg(img))
-    i = b.find(b"\xff\xc0")
-    b[i + 1] = 0xC2  # flip SOF0 → SOF2
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(bytes(b))
+def test_progressive_round_trip_matches_baseline():
+    """Progressive (SOF2) decode: the ten-scan successive-approximation
+    encoding of an image must decode to the same pixels as its baseline
+    encoding (identical quantized coefficients; ≤1 gray-level skew
+    allowed for float summation order at the 0.5 rounding boundary)."""
+    from mysql_syncer_spark.functions.jpeg_codec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for shape in [(16, 16), (24, 40, 3), (7, 13, 3), (8, 8), (1, 1, 3)]:
+        if len(shape) == 2:
+            base = np.add.outer(
+                np.linspace(0, 255, shape[0]), np.linspace(0, 40, shape[1])
+            )
+        else:
+            base = np.linspace(0, 255, int(np.prod(shape))).reshape(shape)
+        cases.append(
+            np.clip(base + rng.normal(0, 20, shape), 0, 255).astype(np.uint8)
+        )
+    for img in cases:
+        for q in (90, 50, 25):
+            b = decode_jpeg(encode_jpeg(img, q))
+            p = decode_jpeg(encode_jpeg_progressive(img, q))
+            assert b.shape == p.shape
+            d = np.abs(b.astype(int) - p.astype(int))
+            assert d.max() <= 1, (img.shape, q, d.max(), (d > 0).sum())
+
+
+def test_progressive_marker_detected_and_scans_parse():
+    """A progressive stream is a real SOF2 file (marker present) and
+    parses scan-by-scan, not via the metadata fallback."""
+    from mysql_syncer_spark.functions.jpeg_codec import encode_jpeg_progressive
+
+    img = _gradient(32, 16)  # RGB
+    b = encode_jpeg_progressive(img, 80)
+    assert b"\xff\xc2" in b and b"\xff\xc0" not in b
+    assert b.count(b"\xff\xda") == 10  # color scan script
+    out = decode_jpeg(b)
+    assert out.shape == (32, 16, 3)
+    gray = img[..., 0]
+    bg = encode_jpeg_progressive(gray, 80)
+    assert bg.count(b"\xff\xda") == 6  # grayscale scan script
+    assert decode_jpeg(bg).shape == (32, 16)
+
+
+def test_progressive_eob_run_spans_blocks():
+    """Foreign encoders emit EOBn symbols (run length > 1) the capped
+    in-repo encoder never produces — hand-assembled two-block scan with
+    EOB2 covering the second block."""
+    from mysql_syncer_spark.functions.jpeg_codec import (
+        ZIGZAG,
+        _build_codes,
+        _BitWriter,
+    )
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    # DQT: ones, except a big step at zigzag-1 so the single ±1 AC
+    # coefficient dequantizes to a visible (±32 gray level) cosine ramp
+    qt = np.ones(64, np.uint8)
+    qt[1] = 64
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(qt))
+    # SOF2: 1 component, 8 rows x 16 cols = 2 blocks
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    out += seg(0xC2, sof)
+    # DC table: categories 0..1; AC table: 0x00(EOB), 0x10(EOB2), 0x01
+    dc_bits = [2, 0] + [0] * 14
+    dc_vals = [0, 1]
+    ac_bits = [0, 3] + [0] * 14
+    ac_vals = [0x00, 0x10, 0x01]
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    dc_codes = _build_codes(dc_bits, dc_vals)
+    ac_codes = _build_codes(ac_bits, ac_vals)
+    # scan 1: DC first (Al=0) — both DCs zero (cat 0 twice)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    bw = _BitWriter()
+    code, ln = dc_codes[0]
+    bw.put(code, ln)
+    bw.put(code, ln)
+    out += bw.flush()
+    # scan 2: AC 1..63 first (Al=0): block0 k=1 -> +1, then EOB2 with
+    # 1 appended bit 0 -> eobrun covers block0's tail AND all of block1
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    bw = _BitWriter()
+    code, ln = ac_codes[0x01]
+    bw.put(code, ln)  # (r=0, s=1)
+    bw.put(1, 1)      # amplitude +1
+    code, ln = ac_codes[0x10]
+    bw.put(code, ln)  # EOBn, r=1
+    bw.put(0, 1)      # eobrun = (1<<1) - 1 + 0 = 1
+    out += bw.flush()
+    out += b"\xff\xd9"
+
+    px = decode_jpeg(bytes(out))
+    assert px.shape == (8, 16)
+    # block0 has one AC coefficient (zigzag k=1 -> natural (0,1)): a
+    # horizontal cosine ramp; block1 is flat 128
+    assert px[:, 8:].min() == px[:, 8:].max() == 128
+    assert px[:, :8].std() > 0
 
 
 def test_truncated_raises():
@@ -170,7 +265,11 @@ def test_spark_meta_and_resize_over_jpeg(spark):
     )
 
     rows = [
-        (i, make_image_bytes(i, w=32, h=24, c=3, fmt="jpeg")) for i in range(8)
+        (i, make_image_bytes(
+            i, w=32, h=24, c=3,
+            fmt="jpeg_progressive" if i % 2 else "jpeg",  # SOF0+SOF2 mix
+        ))
+        for i in range(8)
     ]
     df = spark.createDataFrame(rows, "media_id long, media binary")
     meta = {r["media_id"]: (r["width"], r["height"], r["channels"])
