@@ -584,6 +584,14 @@ def main() -> None:
     mb_single_hi = replay_at(n4_cores, mb_single_dir, warm_dir)
     mb_speedup = round(mb_hi["events_per_sec"] / mb_lo["events_per_sec"], 3)
 
+    # ---- part 4: streaming-tail mode (Structured Streaming cadence) ----
+    # same 20-file log through readStream → foreachBatch exactly-once
+    # sink, one fresh JVM at 4N: the LIVE-tail wall including trigger
+    # scheduling + checkpoint per micro-batch, with per-batch latency
+    # from the progress listener
+    _await_quiet()
+    stream_hi = _child("stream", str(n4_cores), mb_dir, warm_dir)
+
     payload = {
                 "metric": "cdc_replay_wall_sec_4N",
                 "value": hi["wall_sec"],
@@ -638,6 +646,15 @@ def main() -> None:
                         / mb_hi["n_batches"],
                         2,
                     ),
+                },
+                "streaming": {
+                    "cores": stream_hi["cores"],
+                    "n_events": stream_hi["events"],
+                    "wall_sec": stream_hi["wall_sec"],
+                    "rows_per_sec": stream_hi["rows_per_sec"],
+                    "n_micro_batches": stream_hi["n_micro_batches"],
+                    "median_batch_sec": stream_hi["median_batch_sec"],
+                    "p95_batch_sec": stream_hi["p95_batch_sec"],
                 },
                 "replay_sf1": _sf1_evidence(warm_dir, n_cores, n4_cores),
             }

@@ -21,6 +21,7 @@ event wire format.
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 
@@ -298,9 +299,39 @@ def write_event_log(
         mask = pa.array(fs == seq)
         chunk = table.filter(mask)
         path = os.path.join(out_dir, f"binlog-{seq:06d}.parquet")
+        # footer DDL index: schema history rides OUT of the data path
+        # (Debezium's schema-history-topic pattern) — replay collects each
+        # batch's DDL from a millisecond pyarrow footer read instead of a
+        # full pushed-predicate Spark scan over the log
+        meta = dict(chunk.schema.metadata or {})
+        meta[b"msss.ddl"] = json.dumps(_ddl_footer_rows(chunk)).encode()
+        chunk = chunk.replace_schema_metadata(meta)
         pq.write_table(chunk, path, row_group_size=row_group_rows)
         paths.append(path)
     return paths
+
+
+def _ddl_footer_rows(chunk: pa.Table) -> list[dict]:
+    """The file's DDL events (ordered) as plain dicts for the footer
+    index — carries ``table`` so replay can apply the same F1 ownership
+    filter the scan path applies."""
+    ops = chunk.column("op").to_pylist()
+    idx = [i for i, op in enumerate(ops) if op == "DDL"]
+    if not idx:
+        return []
+    ddls = chunk.column("ddl").to_pylist()
+    tables = chunk.column("table").to_pylist()
+    seqs = chunk.column("file_seq").to_pylist()
+    poss = chunk.column("log_pos").to_pylist()
+    rows = []
+    for i in idx:
+        d = dict(ddls[i] or {})
+        d["table"] = tables[i]
+        d["file_seq"] = int(seqs[i])
+        d["log_pos"] = int(poss[i])
+        rows.append(d)
+    rows.sort(key=lambda r: (r["file_seq"], r["log_pos"]))
+    return rows
 
 
 def minimalize_event_log(

@@ -118,6 +118,41 @@ def plan_batches(
     return [(seq, None) for seq in seqs]
 
 
+def _ddl_index_from_footers(
+    event_dir: str, table_name: str
+) -> dict[str, list[dict]] | None:
+    """Batch-id → DDL rows from the writers' parquet footer metadata
+    (``msss.ddl`` key, one entry per binlog file). Returns None when ANY
+    binlog file lacks the key — a foreign log must take the scan path,
+    else its DDL would silently never apply. Applies the same table-
+    ownership filter (F1) the scan path applies."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(event_dir, fn)
+        for fn in os.listdir(event_dir)
+        if _BINLOG_RE.search(fn)
+    )
+    if not files:
+        return None
+    index: dict[str, list[dict]] = {}
+    for path in files:
+        try:
+            meta = pq.read_schema(path).metadata or {}
+        except Exception:
+            return None
+        raw = meta.get(b"msss.ddl")
+        if raw is None:
+            return None
+        for d in _json.loads(raw):
+            if d.pop("table", None) != table_name:
+                continue  # another table's DDL (F1 ownership filter)
+            index.setdefault(f"fileseq-{d['file_seq']}", []).append(d)
+    return index
+
+
 def _read_file_self_schema(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet(path)`` with the schema taken from the file's
     OWN parquet footer via pyarrow instead of JVM-side inference.
@@ -236,28 +271,41 @@ def replay(
     # never applied.
     ddl_index: dict[str, list[dict]] = {}
     n_named = sum(1 for fn in os.listdir(event_dir) if _BINLOG_RE.search(fn))
-    have_index = event_filter is None and (n_named != 1 or pipeline_depth > 1)
-    if have_index:
-        # (a 1-file log gains nothing from the upfront scan — the
-        # per-batch collect is the same single job)
-        # the upfront scan must apply the SAME F1/F3 filters apply_batch
-        # would have run per-batch (table ownership + oversized-DDL cap):
-        # pre-supplied ddls bypass apply_batch's own filtering, and in a
-        # multi-table log an unfiltered index would apply every OTHER
-        # table's DDL to this target (schema corruption).
-        from ..operators.filters import oversized_ddl_filter, table_filter
+    have_index = False
+    if event_filter is None:
+        # fastest path: the writer embeds each file's DDL rows in the
+        # parquet footer (schema history out of the data path — the
+        # Debezium schema-history-topic pattern), so a millisecond
+        # pyarrow footer read replaces the pushed-predicate Spark scan
+        footer_index = _ddl_index_from_footers(event_dir, cfg.name)
+        if footer_index is not None:
+            ddl_index = footer_index
+            have_index = True
+        elif n_named != 1 or pipeline_depth > 1:
+            # foreign log without footer metadata: ONE pushed-predicate
+            # scan (a 1-file log gains nothing from it — the per-batch
+            # collect is the same single job). The scan applies the SAME
+            # F1/F3 filters apply_batch would have run per-batch (table
+            # ownership + oversized-DDL cap): pre-supplied ddls bypass
+            # apply_batch's own filtering, and in a multi-table log an
+            # unfiltered index would apply every OTHER table's DDL to
+            # this target (schema corruption).
+            from ..operators.filters import oversized_ddl_filter, table_filter
 
-        ddl_rows = (
-            oversized_ddl_filter(
-                table_filter(read_event_log(spark, event_dir), [cfg.name])
+            ddl_rows = (
+                oversized_ddl_filter(
+                    table_filter(read_event_log(spark, event_dir), [cfg.name])
+                )
+                .filter(F.col("op") == "DDL")
+                .select("ddl.*", "file_seq", "log_pos")
+                .orderBy("file_seq", "log_pos")
+                .collect()
             )
-            .filter(F.col("op") == "DDL")
-            .select("ddl.*", "file_seq", "log_pos")
-            .orderBy("file_seq", "log_pos")
-            .collect()
-        )
-        for r in ddl_rows:
-            ddl_index.setdefault(f"fileseq-{r['file_seq']}", []).append(r.asDict())
+            for r in ddl_rows:
+                ddl_index.setdefault(
+                    f"fileseq-{r['file_seq']}", []
+                ).append(r.asDict())
+            have_index = True
 
     if pipeline_depth > 1:
         batches = table.apply_batches_pipelined(

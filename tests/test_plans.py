@@ -248,13 +248,25 @@ def test_bench_compact_line_fits_driver_tail_capture():
             "per_batch_overhead_sec_4n": 1.45,
         },
         "replay_sf1": sf1,
+        "streaming": {
+            "cores": 4, "n_events": 1020000, "wall_sec": 60.0,
+            "rows_per_sec": 17000.0, "n_micro_batches": 20,
+            "median_batch_sec": 2.5, "p95_batch_sec": 4.0,
+        },
     }
     line = json.dumps(bench._compact(payload))
-    assert len(line) < 1900, len(line)
+    assert len(line) <= bench._STDOUT_CAP, len(line)
     got = json.loads(line)
     assert set(got["queries"]) == set(bench.HEADLINE)
-    assert got["replay_sf1"]["multi_batch_40_files"]["speedup_n_to_4n"]
+    # r5 contract: allowlist-built line — sf1 verdict scalars flattened,
+    # current-engine era nested, streaming headline present
+    assert got["replay_sf1"]["speedup_n_to_4n"]
+    # key present even when the synthetic fixture has no ceiling attempts
+    assert "efficiency_vs_sha2_ceiling" in got["replay_sf1"]
+    assert "scaling_efficiency_n_to_4n" in got["replay_sf1"]["current_engine"]
     assert got["replay"]["scaling_efficiency_n_to_4n"]
+    assert got["streaming"]["rows_per_sec"]
     # the full payload (attempts incl.) is preserved in the file artifact
     assert got["full"] == "BENCH/latest.json"
     assert "attempts" not in got["replay_sf1"]
+    assert "all_wall_sec_n" not in got["replay"]

@@ -1,5 +1,7 @@
 """D3: DDL applied transactionally before the batch's merge."""
 
+import os
+
 import pyspark.sql.functions as F
 
 from mysql_syncer_spark.generator import GenSpec, generate_events, write_event_log
@@ -270,3 +272,82 @@ def test_readded_column_rename_keeps_physical_binding(spark, tmp_table_path):
     assert ["extra", "extra_v2"] not in m.renames
     vals = {r["url"]: r["extra_v2"] for r in t.read().collect()}
     assert vals == {"http://b/1": None, "http://b/2": "live"}
+
+
+def test_footer_ddl_index_matches_scan_path(spark, tmp_path):
+    """The writer embeds each binlog file's DDL rows in the parquet
+    footer (schema history out of the data path); replay reads it in
+    milliseconds instead of scanning the log. Stripping the footer key
+    must flip replay to the scan path with IDENTICAL final state."""
+    import pyarrow.parquet as pq
+
+    from mysql_syncer_spark.generator import GenSpec, generate_events, write_event_log
+    from mysql_syncer_spark.plans.replay import _ddl_index_from_footers, replay
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+
+    tbl = generate_events(GenSpec(n_events=1200, events_per_file=300))
+    d = str(tmp_path / "log")
+    write_event_log(tbl, d)
+
+    idx = _ddl_index_from_footers(d, "web.pages")
+    assert idx is not None
+    n_ddl_footer = sum(len(v) for v in idx.values())
+    assert n_ddl_footer > 0  # the generator injects DDL events
+
+    p1 = str(tmp_path / "pages_footer")
+    replay(spark, d, p1, num_buckets=8)
+
+    # strip the footer key -> foreign-log fallback (scan path)
+    d2 = str(tmp_path / "log_foreign")
+    os.makedirs(d2)
+    for fn in sorted(os.listdir(d)):
+        if not fn.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(d, fn))
+        meta = {k: v for k, v in (t.schema.metadata or {}).items()
+                if k != b"msss.ddl"}
+        pq.write_table(t.replace_schema_metadata(meta), os.path.join(d2, fn))
+    assert _ddl_index_from_footers(d2, "web.pages") is None
+    p2 = str(tmp_path / "pages_scan")
+    replay(spark, d2, p2, num_buckets=8)
+
+    key = lambda df: sorted(
+        (r["url"], r.asDict(recursive=False).get("extra_v2"))
+        for r in df.collect()
+    )
+    a = PagesTable(spark, p1).read()
+    b = PagesTable(spark, p2).read()
+    assert sorted(a.columns) == sorted(b.columns)
+    assert key(a) == key(b) and a.count() > 0
+
+
+def test_footer_ddl_index_filters_foreign_tables(spark, tmp_path):
+    """F1 ownership: a footer entry for ANOTHER table must not reach
+    this table's schema (the scan path applies table_filter; the footer
+    path must too)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from mysql_syncer_spark.generator import GenSpec, generate_events, write_event_log
+    from mysql_syncer_spark.plans.replay import _ddl_index_from_footers
+
+    tbl = generate_events(GenSpec(n_events=300, events_per_file=300))
+    d = str(tmp_path / "log")
+    write_event_log(tbl, d)
+    fn = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))[0]
+    path = os.path.join(d, fn)
+    t = pq.read_table(path)
+    meta = dict(t.schema.metadata or {})
+    rows = json.loads(meta[b"msss.ddl"])
+    rows.append({"kind": "add_column", "col": "evil", "new_name": None,
+                 "dtype": "string", "table": "web.other",
+                 "file_seq": 0, "log_pos": 10**9})
+    meta[b"msss.ddl"] = json.dumps(rows).encode()
+    pq.write_table(t.replace_schema_metadata(meta), path)
+
+    idx = _ddl_index_from_footers(d, "web.pages")
+    assert idx is not None
+    assert all(
+        dd.get("col") != "evil" for v in idx.values() for dd in v
+    )

@@ -79,6 +79,73 @@ def run_replay(
         )
 
 
+def run_stream(cores: int, event_dir: str, warm_dir: str, out_path: str) -> None:
+    """Streaming-tail throughput: the same CDC log replayed through
+    Structured Streaming (readStream tail → foreachBatch exactly-once
+    sink, one binlog file per micro-batch) with the progress listener
+    recording per-micro-batch latency. This times the cadence a LIVE
+    tail pays (trigger scheduling + checkpoint + commit per batch), which
+    the batch replay modes exclude."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mysql_syncer_spark.plans.replay import replay
+    from mysql_syncer_spark.session import get_spark
+    from mysql_syncer_spark.streaming.listener import read_progress_log
+    from mysql_syncer_spark.streaming.runner import run_streaming_replay
+
+    shm = tempfile.mkdtemp(dir="/dev/shm", prefix=f"stream_{cores}_")
+    try:
+        local_log = os.path.join(shm, "log")
+        shutil.copytree(event_dir, local_log)
+        n_events = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(local_log, "*.parquet"))
+        )
+        spark = get_spark(
+            app_name=f"stream_bench_{cores}",
+            cores=cores,
+            shuffle_partitions=32,
+            extra_conf={"spark.local.dir": os.path.join(shm, "sparktmp")},
+        )
+        replay(  # JIT + python-worker warmup, same as the batch modes
+            spark, warm_dir, os.path.join(shm, "warm", "pages"), num_buckets=64
+        )
+        table_path = os.path.join(shm, "pages")
+        t0 = time.time()
+        run_streaming_replay(
+            spark, local_log, table_path, os.path.join(shm, "ckpt"),
+            num_buckets=64, timeout_sec=3600, progress_log=True,
+        )
+        wall = time.time() - t0
+        rows = read_progress_log(os.path.join(table_path, "_metrics"))
+        prog = [
+            r for r in rows
+            if r.get("event") == "progress" and (r.get("num_input_rows") or 0)
+        ]
+        lat = sorted(r["trigger_ms"] for r in prog if r.get("trigger_ms"))
+        med = lat[len(lat) // 2] if lat else None
+        spark.stop()
+    finally:
+        shutil.rmtree(shm, ignore_errors=True)
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "cores": cores,
+                "wall_sec": round(wall, 2),
+                "events": n_events,
+                "rows_per_sec": round(n_events / wall, 1),
+                "n_micro_batches": len(prog),
+                "median_batch_sec": round(med / 1000, 2) if med else None,
+                "p95_batch_sec": (
+                    round(lat[int(len(lat) * 0.95)] / 1000, 2) if lat else None
+                ),
+            },
+            f,
+        )
+
+
 def run_sha2(cores: int, n_rows: int, out_path: str) -> None:
     """Hardware-ceiling calibration: embarrassingly parallel pure-JVM
     hashing, zero shuffle, zero Python. NOTE this ceiling is CONSERVATIVE
@@ -115,6 +182,9 @@ if __name__ == "__main__":
             )
         else:
             run_replay(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
+    elif mode == "stream":
+        # stream <cores> <event_dir> <warm_dir> <out_json>
+        run_stream(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
     elif mode == "sha2":
         run_sha2(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
     else:
