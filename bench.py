@@ -70,7 +70,9 @@ def ensure_event_log(
     throughput); a value → that rotation cadence (multi-batch mode, which
     additionally pays the real per-batch serial floor)."""
     epf = events_per_file or n_events
-    d = os.path.join(CACHE_ROOT, f"v3-{n_events}-{html_repeat}-{epf}-{row_group_rows}")
+    # v4: logs carry the footer DDL index (msss.ddl) — v3 caches predate
+    # it and would silently take the foreign-log scan path
+    d = os.path.join(CACHE_ROOT, f"v4-{n_events}-{html_repeat}-{epf}-{row_group_rows}")
     marker = os.path.join(d, "_COMPLETE")
     if os.path.exists(marker):
         return d
@@ -646,6 +648,10 @@ def main() -> None:
                         / mb_hi["n_batches"],
                         2,
                     ),
+                    # decomposition of that overhead: ordered-commit
+                    # serial floor vs head-wait (parallel small-batch
+                    # compute + async compaction sharing the cores)
+                    "pipeline_profile_4n": mb_hi.get("pipeline_profile"),
                 },
                 "streaming": {
                     "cores": stream_hi["cores"],

@@ -350,12 +350,16 @@ def replay(
                 planner["latest"] = res.get("dup_share")
             batches.append(res)
     total_events = sum(b.get("events_in", 0) for b in batches)
-    return {
+    out = {
         "n_batches": len(batches),
         "events_applied": total_events,
         "batches": batches,
         "table_path": table_path,
     }
+    prof = getattr(table, "_last_pipeline_profile", None)
+    if pipeline_depth > 1 and prof:
+        out["pipeline_profile"] = prof
+    return out
 
 
 def repair_bucket(

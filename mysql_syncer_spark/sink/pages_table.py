@@ -870,26 +870,43 @@ class PagesTable:
                     fold_map=fold_map,
                 )
 
+        # MSSS_PROFILE=1: decompose the serial (ordered-commit) floor —
+        # wait = head delta not ready (pipeline starved, parallel work),
+        # the rest is true main-thread serial cost per batch
+        prof = os.environ.get("MSSS_PROFILE") == "1"
+        agg = {"wait": 0.0, "ddl": 0.0, "fold": 0.0, "commit": 0.0,
+               "sched": 0.0, "submit": 0.0}
+
         def commit_head() -> None:
             nonlocal m
             bid, ddls, t0, fut = inflight.pop(0)
+            tw = time.time()
             delta = fut.result()
+            agg["wait"] += time.time() - tw
             if delta.get("skew_probed"):
                 planner["last_probe_share"] = delta["dup_share"]
                 planner["salted"] = delta["use_salted"]
                 planner["probe_inflight"] = False
             planner["latest_share"] = delta["dup_share"]
+            tw = time.time()
             for d in ddls:  # buffered: manifest mutates with ITS commit
                 self._apply_ddl(m, d)
+            agg["ddl"] += time.time() - tw
+            tw = time.time()
             fold_compaction_if_ready(bid)
+            agg["fold"] += time.time() - tw
+            tw = time.time()
             results.append(
                 self._commit_batch(
                     m, bid, delta, len(ddls), t0, inline_compact=False,
                     rebase=lambda fm, _ds=ddls: [self._apply_ddl(fm, d) for d in _ds],
                 )
             )
+            agg["commit"] += time.time() - tw
             m = self._manifest_after_commit  # follow any conflict rebase
+            tw = time.time()
             schedule_compaction_if_needed()
+            agg["sched"] += time.time() - tw
 
         try:
             with ThreadPoolExecutor(max_workers=depth) as ex:
@@ -937,6 +954,7 @@ class PagesTable:
                         )
 
                     fut = ex.submit(work)
+                    agg["submit"] += time.time() - t0
                     inflight.append((bid, ddls, t0, fut))
                     while len(inflight) >= depth:
                         commit_head()
@@ -952,6 +970,22 @@ class PagesTable:
                 schedule_compaction_if_needed()
         finally:
             maintenance.shutdown(wait=True)
+        n = max(1, len([r for r in results if not r.get("skipped")]))
+        # always-on floor telemetry (cheap): everything except `wait`
+        # is true main-thread serial cost; `wait` is head-delta compute
+        # (parallel section, pipeline-starved)
+        self._last_pipeline_profile = {
+            "n_batches": n,
+            "serial_floor_sec_per_batch": round(
+                sum(v for k, v in agg.items() if k != "wait") / n, 4
+            ),
+            "head_wait_sec_per_batch": round(agg["wait"] / n, 3),
+            "sections": {k: round(v, 3) for k, v in agg.items()},
+        }
+        if prof:
+            per = " ".join(f"{k}={v:.2f}s({v / n:.3f}s/b)"
+                           for k, v in agg.items())
+            print(f"[profile pipelined n={n}] {per}", flush=True)
         return results
 
     def _bucket_merge(

@@ -74,6 +74,9 @@ def run_replay(
                 "events_per_sec": round(events / wall, 1),
                 "n_batches": res["n_batches"],
                 "pipeline_depth": depth,
+                # ordered-commit serial floor vs head-wait (parallel
+                # compute) decomposition, when pipelined
+                "pipeline_profile": res.get("pipeline_profile"),
             },
             f,
         )
