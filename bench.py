@@ -202,7 +202,7 @@ SF1_EVENTS = 10_000_000
 # perf-relevant engine change lands, so the aggregate can report the
 # CURRENT engine's median alongside the all-attempts one (attempts are
 # never dropped — both series stay published, unconditioned).
-SF1_ENGINE_ERA = "r4-tiered-compaction"
+SF1_ENGINE_ERA = "r5-footer-ddl-index"
 
 
 def _median(xs: list[float]) -> float:
