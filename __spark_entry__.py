@@ -1186,6 +1186,93 @@ def q_maxwell_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_canal_topic(
+    spark: SparkSession, tag: str, n_events: int, events_per_file: int
+) -> str:
+    """Canal FlatMessage JSON topic archive from the SAME typed log as
+    the Debezium/Maxwell twins — one stream, four wire formats, one
+    oracle."""
+    from mysql_syncer_spark.sources.canal import write_canal_json
+    from mysql_syncer_spark.sources.event_log import read_event_log
+
+    typed_dir = _shared_event_log(tag, n_events, events_per_file)
+    d = os.path.join(
+        _SHARED_LOG_ROOT, f"canal-{tag}-{n_events}-{events_per_file}"
+    )
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return d
+    tmp = d + f".tmp-{os.getpid()}"
+    write_canal_json(read_event_log(spark, typed_dir), tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, d)
+        return d
+    except OSError:
+        return d if os.path.exists(marker) else tmp
+
+
+def q_canal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
+    """Alibaba Canal FlatMessage decode (the THIRD de-facto MySQL CDC
+    JSON wire format — sources/canal.py): typed log → flat messages
+    (array-packed row images, every cell stringified, ISO-8859-1 binary,
+    changed-columns-only index-paired `old`, no binlog position — order
+    rides the monotone id) → 100%-JVM decode (posexplode +
+    map_contains_key overlay). Oracle reads the ORIGINAL typed parquet;
+    the flat message genuinely lacks xid/server_id, so tx_id is the
+    execute-time millis (es) both sides and server_id is omitted. Any
+    encode/decode infidelity — stringified cells, the ISO-8859-1 byte
+    round-trip, the id→(file_seq, log_pos) split, the null-vs-absent
+    overlay — breaks the value hash."""
+    from mysql_syncer_spark.sources.canal import read_canal_json
+
+    d = _shared_canal_topic(spark, "replay", 2_000, 1_000)
+    ev = read_canal_json(spark, d)
+    return ev.select(
+        F.col("file_seq").cast("int").alias("file_seq"),
+        F.col("log_pos").cast("long").alias("log_pos"),
+        "op",
+        "table",
+        F.col("tx_id").cast("long").alias("tx_id"),
+        F.col("after.url").alias("url"),
+        F.unix_micros("after.warc_ts").alias("warc_ts_us"),
+        F.md5(F.col("after.html")).alias("html_md5"),
+        F.col("after.text").alias("text"),
+        F.col("after.lang").alias("lang"),
+        F.col("after.extra").alias("extra"),
+        F.col("before.url").alias("before_url"),
+        # the overlay's hardest bit, value-checked per row: the BEFORE
+        # text of updates (reconstructed from data[i] ∪ old[i])
+        F.col("before.text").alias("before_text"),
+        F.col("ddl.kind").alias("ddl_kind"),
+        F.col("ddl.col").alias("ddl_col"),
+    )
+
+
+def q_canal_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
+    """End-to-end replay FROM a Canal topic archive: flat-message JSON →
+    JVM decode → per-source-file exactly-once batches (file-pruned) →
+    LWW merge + DDL + extraction; equals whole-log LWW (flagship
+    oracle). A canal/RocketMQ user can point their flatMessage topic
+    dumps at this engine and get reference semantics."""
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+    from mysql_syncer_spark.sources.canal import replay_canal_json
+
+    d = _shared_canal_topic(spark, "replay", 2_000, 1_000)
+    table_path = os.path.join(tempfile.mkdtemp(prefix="entry_cn_"), "pages")
+    replay_canal_json(spark, d, table_path, num_buckets=8)
+    out = PagesTable(spark, table_path).read()
+    return out.select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_ts_us"),
+        "text",
+        "lang",
+        "extra_v2",
+    )
+
+
 def q_debezium_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
     """Debezium AVRO envelope decode (the schema-registry wire format
@@ -2132,6 +2219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_avro_replay_state": q_debezium_avro_replay_state,
         "cdc_maxwell_decode": q_maxwell_decode,
         "cdc_maxwell_replay_state": q_maxwell_replay_state,
+        "cdc_canal_decode": q_canal_decode,
+        "cdc_canal_replay_state": q_canal_replay_state,
         "cdc_mysql_typed_decode": q_mysql_typed_decode,
         "cdc_mysql_row_image": q_mysql_row_image,
         "cdc_partial_image_state": q_partial_image_state,
@@ -2369,6 +2458,40 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_shared_event_log("replay", 2_000, 1_000)}/binlog-*.parquet')
         """,
         "cdc_maxwell_replay_state": f"""
+            WITH ev AS (
+                SELECT after.url AS url, after.warc_ts AS warc_ts,
+                       after.html AS html, after.lang AS lang,
+                       after.extra AS extra, op, file_seq, log_pos
+                FROM read_parquet('{_shared_event_log("replay", 2_000, 1_000)}/binlog-*.parquet')
+                WHERE op IN ('I','U','D')),
+            w AS (SELECT *,
+                         row_number() OVER (PARTITION BY url
+                                            ORDER BY warc_ts DESC, file_seq DESC,
+                                                     log_pos DESC) AS rn
+                  FROM ev)
+            SELECT url, epoch_us(warc_ts) AS warc_ts_us,
+                   {_EXTRACT_SQL} AS text,
+                   lang, extra AS extra_v2
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # canal flat messages carry no xid/server_id: tx_id is the
+        # execute-time millis (es) on BOTH sides; DDL messages ride es=0
+        "cdc_canal_decode": f"""
+            SELECT file_seq::INT AS file_seq, log_pos AS log_pos, op,
+                   "table",
+                   CASE WHEN op = 'DDL' THEN 0
+                        ELSE epoch_ms(COALESCE(after.warc_ts, before.warc_ts))
+                   END AS tx_id,
+                   after.url AS url, epoch_us(after.warc_ts) AS warc_ts_us,
+                   CASE WHEN after.html IS NULL THEN NULL
+                        ELSE md5(decode(after.html)) END AS html_md5,
+                   after.text AS text, after.lang AS lang,
+                   after.extra AS extra, before.url AS before_url,
+                   before.text AS before_text,
+                   ddl.kind AS ddl_kind, ddl.col AS ddl_col
+            FROM read_parquet('{_shared_event_log("replay", 2_000, 1_000)}/binlog-*.parquet')
+        """,
+        "cdc_canal_replay_state": f"""
             WITH ev AS (
                 SELECT after.url AS url, after.warc_ts AS warc_ts,
                        after.html AS html, after.lang AS lang,

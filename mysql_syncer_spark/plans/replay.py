@@ -124,8 +124,10 @@ def _ddl_index_from_footers(
     """Batch-id → DDL rows from the writers' parquet footer metadata
     (``msss.ddl`` key, one entry per binlog file). Returns None when ANY
     binlog file lacks the key — a foreign log must take the scan path,
-    else its DDL would silently never apply. Applies the same table-
-    ownership filter (F1) the scan path applies."""
+    else its DDL would silently never apply. Applies the same filters
+    the scan path applies: table ownership (F1) and the oversized-DDL
+    cap (F3, 2×RS_SQL_MAX_LEN — reference
+    /root/reference/src/master/rs_parse_binlog.c:128-131)."""
     import json as _json
 
     import pyarrow.parquet as pq
@@ -149,6 +151,11 @@ def _ddl_index_from_footers(
         for d in _json.loads(raw):
             if d.pop("table", None) != table_name:
                 continue  # another table's DDL (F1 ownership filter)
+            if (
+                len(d.get("col") or "") + len(d.get("new_name") or "")
+                > 2048
+            ):
+                continue  # oversized DDL (F3 cap), like the scan path
             index.setdefault(f"fileseq-{d['file_seq']}", []).append(d)
     return index
 
