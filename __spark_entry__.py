@@ -2151,12 +2151,22 @@ def q_cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
+    """Container-mixed frame sampling: a third each AVI-DIB
+    (uncompressed), AVI-MJPG (per-frame baseline JPEG), and MP4/ISO-BMFF
+    MJPEG (round 5, mp4_codec.py — stco/stsz sample-table seek). Every
+    container decodes to the same 16x12 grayscale frames at fps 8, so
+    the closed-form oracle covers all three paths."""
     from mysql_syncer_spark.functions.multimodal import (
         make_video_bytes,
         sample_video_frames,
     )
 
-    rows = [(i, make_video_bytes(i)) for i in range(50)]
+    kinds = [
+        {"codec": "DIB"},
+        {"codec": "MJPG"},
+        {"container": "mp4"},
+    ]
+    rows = [(i, make_video_bytes(i, **kinds[i % 3])) for i in range(50)]
     df = spark.createDataFrame(rows, "media_id long, media binary")
     out = sample_video_frames(df, every_n=4)
     return out.select("media_id", "frame_idx", "ts_s", F.length("frame").alias("frame_bytes"))

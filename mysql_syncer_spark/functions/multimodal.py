@@ -36,7 +36,9 @@ Wire formats:
          lossy VP8 meta-only); or legacy
          b"IMG1" + u16 w + u16 h + u8 channels + w*h*c payload bytes
   audio: RIFF/WAVE PCM16 mono, or legacy b"PCM1" + u32 sr + s16le samples
-  video: RIFF/AVI, uncompressed DIB or MJPG (avi_codec.py), or legacy
+  video: RIFF/AVI, uncompressed DIB or MJPG (avi_codec.py); MP4/ISO-BMFF
+         with MJPEG samples (mp4_codec.py, round 5 — foreign codecs like
+         avc1 parse to metadata with decodable=False); or legacy
          b"VID1" + u16 w + u16 h + u8 fps + u16 n_frames + w*h-byte
          gray frames
 """
@@ -160,15 +162,22 @@ def make_video_bytes(
     fps: int = 8,
     n_frames: int = 24,
     codec: str = "DIB",
+    container: str = "avi",
 ) -> bytes:
-    """Deterministic REAL AVI (RIFF container — avi_codec.py; any player
-    opens it). ``codec="DIB"`` (default, uncompressed — what the oracle
-    can reproduce byte-exactly) or ``"MJPG"`` (per-frame baseline JPEG;
-    lossy, so tests assert tolerance, not byte parity)."""
-    from .avi_codec import encode_avi
-
+    """Deterministic REAL video (any player opens it). ``container``:
+    ``"avi"`` (RIFF — avi_codec.py) with ``codec="DIB"`` (default,
+    uncompressed — what the oracle can reproduce byte-exactly) or
+    ``"MJPG"`` (per-frame baseline JPEG; lossy, so tests assert
+    tolerance, not byte parity); or ``"mp4"`` (ISO-BMFF — mp4_codec.py,
+    MJPEG samples, codec knob ignored)."""
     rng = np.random.default_rng(media_id)
     frames = rng.integers(0, 256, (n_frames, h, w), dtype=np.uint8)
+    if container == "mp4":
+        from .mp4_codec import encode_mp4
+
+        return encode_mp4(frames, fps)
+    from .avi_codec import encode_avi
+
     return encode_avi(frames, fps, codec=codec)
 
 
@@ -421,6 +430,7 @@ def sample_video_frames(
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .avi_codec import parse_avi_meta_and_offsets, read_frame_at
+        from .mp4_codec import parse_mp4_meta_and_offsets, read_mp4_frame
 
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
@@ -436,8 +446,22 @@ def sample_video_frames(
                         tss.append(round(i / fps, 6))
                         frames.append(read_frame_at(b, w, h, offs[i]).tobytes())
                     continue
+                if len(b) >= 12 and b[4:8] == b"ftyp":  # ISO-BMFF / MP4
+                    # stco/stsz sample table: same O(header + sampled)
+                    meta = parse_mp4_meta_and_offsets(b)
+                    for i in range(0, meta["n_frames"], every_n):
+                        off, size = meta["offsets"][i]
+                        ids.append(mid)
+                        idxs.append(i)
+                        tss.append(round(i / meta["fps"], 6))
+                        frames.append(
+                            read_mp4_frame(b, off, size, meta).tobytes()
+                        )
+                    continue
                 if b[:4] != b"VID1":
-                    raise ValueError("unknown video format (AVI/VID1 supported)")
+                    raise ValueError(
+                        "unknown video format (AVI/MP4/VID1 supported)"
+                    )
                 w, h, fps, n_frames = struct.unpack_from("<HHBH", b, 4)
                 fsz = w * h
                 for i in range(0, n_frames, every_n):
@@ -449,5 +473,65 @@ def sample_video_frames(
             yield pd.DataFrame(
                 {id_col: ids, "frame_idx": idxs, "ts_s": tss, "frame": frames}
             )
+
+    return df.mapInPandas(mapper, schema=schema)
+
+
+VIDEO_META = T.StructType(
+    [
+        T.StructField("container", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("decodable", T.BooleanType()),
+        T.StructField("n_bytes", T.IntegerType()),
+    ]
+)
+
+
+def video_meta(
+    df: DataFrame, bytes_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """Container probe WITHOUT pixel decode: geometry/fps/frame count/
+    codec for AVI (RIFF walk), MP4 (ISO-BMFF sample tables — including
+    foreign codecs like avc1, where ``decodable=False`` and the caller
+    keeps the metadata row instead of failing), and legacy VID1. This is
+    the fallback path for inter-frame codecs this repo honestly cannot
+    decode, mirroring the lossy-WebP policy."""
+    schema = T.StructType([df.schema[id_col], *VIDEO_META.fields])
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi_codec import parse_avi_meta_and_offsets
+        from .mp4_codec import parse_mp4_meta_and_offsets
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[bytes_col]):
+                b = bytes(b)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    w, h, fps, offs = parse_avi_meta_and_offsets(b)
+                    # chunk-level sniff: MJPG frames start with JPEG SOI
+                    mjpg = bool(offs) and b[offs[0] : offs[0] + 2] == b"\xff\xd8"
+                    rows.append(
+                        (mid, "avi", "MJPG" if mjpg else "DIB", w, h,
+                         float(fps), len(offs), True, len(b))
+                    )
+                elif len(b) >= 12 and b[4:8] == b"ftyp":
+                    m = parse_mp4_meta_and_offsets(b)
+                    rows.append(
+                        (mid, "mp4", m["codec"], m["w"], m["h"],
+                         float(m["fps"]), m["n_frames"],
+                         bool(m["supported"]), len(b))
+                    )
+                elif b[:4] == b"VID1":
+                    w, h, fps, n = struct.unpack_from("<HHBH", b, 4)
+                    rows.append(
+                        (mid, "vid1", "RAW", w, h, float(fps), n, True, len(b))
+                    )
+                else:
+                    raise ValueError("unknown video format (AVI/MP4/VID1)")
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(mapper, schema=schema)
