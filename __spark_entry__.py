@@ -1051,6 +1051,102 @@ def q_gtid_resume_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_failover_archives(spark: SparkSession) -> tuple[str, str, str]:
+    """Overlapping primary/replica binlog archives from ONE typed log
+    (2000 events, 4 files): primary = files 0-2 (died in file 2),
+    replica = files 1-3 re-framed in its OWN numbering with the GTID
+    sequence continued (start_gno from the primary's bytes) — the real
+    failover double-read shape. Returns (typed_dir, primary, replica)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from mysql_syncer_spark.sources.binlog_file import (
+        encode_binlog_files,
+        read_binlog_files,
+    )
+
+    typed_dir = _shared_event_log("replay", 2_000, 500)
+    d = os.path.join(_SHARED_LOG_ROOT, "failover-replay-2000-500")
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker):
+        return typed_dir, os.path.join(d, "primary"), os.path.join(d, "replica")
+    tmp = d + f".tmp-{os.getpid()}"
+    tbl = pa.concat_tables(
+        pq.read_table(os.path.join(typed_dir, fn))
+        for fn in sorted(os.listdir(typed_dir))
+        if fn.startswith("binlog-") and fn.endswith(".parquet")
+    )
+
+    def _slice(lo, hi, renumber=False):
+        m = pc.and_(
+            pc.greater_equal(tbl["file_seq"], lo),
+            pc.less_equal(tbl["file_seq"], hi),
+        )
+        out = tbl.filter(m)
+        if renumber:
+            i = out.schema.get_field_index("file_seq")
+            out = out.set_column(
+                i, "file_seq", pc.subtract(out["file_seq"], lo).cast(pa.int32())
+            )
+        return out
+
+    encode_binlog_files(
+        _slice(0, 2), os.path.join(tmp, "primary"),
+        gtid_uuid=_GTID_UUID, server_id=1,
+    )
+    pre = read_binlog_files(
+        spark, os.path.join(tmp, "primary"), include_gtid=True, to_file_seq=0
+    )
+    start_gno = int(
+        pre.agg(
+            F.max(F.split("gtid", ":").getItem(1).cast("long")).alias("g")
+        ).head()["g"]
+    )
+    encode_binlog_files(
+        _slice(1, 3, renumber=True), os.path.join(tmp, "replica"),
+        gtid_uuid=_GTID_UUID, server_id=2, start_gno=start_gno,
+    )
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        if not os.path.exists(marker):
+            return (
+                typed_dir,
+                os.path.join(tmp, "primary"),
+                os.path.join(tmp, "replica"),
+            )
+    return typed_dir, os.path.join(d, "primary"), os.path.join(d, "replica")
+
+
+def q_failover_gtid_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pyfiles(spark)
+    """Multi-source failover recovery (operators/failover.py): raw binlog
+    archives of a primary (files 0-2, died mid-stream) and its promoted
+    replica (files 1-3 in the replica's OWN numbering, GTIDs preserved)
+    are merged exactly-once by GTID — whole transactions from one source,
+    commit order recovered from the gno, independent of either server's
+    private (file_seq, log_pos) framing — then applied as one LWW batch.
+    Final state must equal plain whole-log LWW (the flagship oracle).
+    The reference's file+position checkpoints (etc/slave.info) cannot
+    express this recovery; the GTID layer is what makes it closed-form."""
+    from mysql_syncer_spark.operators.failover import replay_failover
+    from mysql_syncer_spark.sink.pages_table import PagesTable
+
+    _, pri, rep = _shared_failover_archives(spark)
+    table_path = os.path.join(tempfile.mkdtemp(prefix="entry_fo_"), "pages")
+    replay_failover(spark, [pri, rep], table_path, num_buckets=8)
+    out = PagesTable(spark, table_path).read()
+    return out.select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_ts_us"),
+        "text",
+        "lang",
+        "extra_v2",
+    )
+
+
 def _shared_debezium_topic(
     spark: SparkSession, tag: str, n_events: int, events_per_file: int
 ) -> str:
@@ -2223,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_replay_final_state": q_engine_replay,
         "cdc_binlog_file_scan": q_binlog_file_scan,
         "cdc_gtid_resume_state": q_gtid_resume_state,
+        "cdc_failover_gtid_merge_state": q_failover_gtid_merge_state,
         "cdc_debezium_decode": q_debezium_decode,
         "cdc_debezium_replay_state": q_debezium_replay_state,
         "cdc_debezium_avro_decode": q_debezium_avro_decode,
@@ -2416,6 +2513,26 @@ def oracle_sql() -> dict[str, str]:
                        after.html AS html, after.lang AS lang,
                        after.extra AS extra, op, file_seq, log_pos
                 FROM read_parquet('{_shared_event_log("replay", 2_000, 1_000)}/binlog-*.parquet')
+                WHERE op IN ('I','U','D')),
+            w AS (SELECT *,
+                         row_number() OVER (PARTITION BY url
+                                            ORDER BY warc_ts DESC, file_seq DESC,
+                                                     log_pos DESC) AS rn
+                  FROM ev)
+            SELECT url, epoch_us(warc_ts) AS warc_ts_us,
+                   {_EXTRACT_SQL} AS text,
+                   lang, extra AS extra_v2
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # failover merge: the overlap window is double-delivered across
+        # two archives with different framing; exactly-once-by-GTID in
+        # commit order must land on plain whole-log LWW
+        "cdc_failover_gtid_merge_state": f"""
+            WITH ev AS (
+                SELECT after.url AS url, after.warc_ts AS warc_ts,
+                       after.html AS html, after.lang AS lang,
+                       after.extra AS extra, op, file_seq, log_pos
+                FROM read_parquet('{_shared_event_log("replay", 2_000, 500)}/binlog-*.parquet')
                 WHERE op IN ('I','U','D')),
             w AS (SELECT *,
                          row_number() OVER (PARTITION BY url

@@ -249,6 +249,7 @@ def encode_binlog_files(
     table_id: int = 1,
     gtid_uuid: str | None = None,
     checksum: str | None = None,
+    start_gno: int = 0,
 ) -> list[str]:
     """Typed event table (generator.EVENT_ARROW layout, pyarrow) → real
     binlog FILE bytes: ``mysql-bin.NNNNNN`` per file_seq plus a
@@ -268,6 +269,13 @@ def encode_binlog_files(
     PREVIOUS_GTIDS_EVENT holding the set committed in PRIOR files —
     the header that makes resume-from-GTID prune at the file level.
 
+    ``start_gno`` offsets the GTID numbering (gno start_gno+1, …) — how
+    a PROMOTED REPLICA's binlog continues the primary's GTID sequence
+    after failover (its PREVIOUS_GTIDS header covers 1..start_gno even
+    though those transactions live only in the primary's files); used to
+    synthesize overlapping multi-source archives for the failover-merge
+    operator (operators/failover.py).
+
     ``checksum="crc32"`` opts into MySQL 5.6+ event checksums (the
     server default since 5.6): the FDE advertises a 5.6 server version
     + the alg byte, and EVERY event (FDE included) gains a trailing
@@ -286,7 +294,7 @@ def encode_binlog_files(
         by_file.setdefault(int(ev["file_seq"]), []).append(ev)
     seqs = sorted(by_file)
     paths = []
-    gno = 0  # commit-ordered across the whole log
+    gno = start_gno  # commit-ordered across the whole log
 
     def gtid_body(g: int) -> bytes:
         # 1B commit flag | 16B SID | 8B GNO (5.7 logical timestamps
