@@ -20,9 +20,12 @@ successive approximation, all four scan kinds, EOB runs — plus a
 ten-scan progressive encoder for fixtures. **WebP lossless is REAL end-to-end** (round 5): ``webp_meta``
 walks RIFF chunks to VP8/VP8L/VP8X, and ``webp_codec.py`` is a
 pure-python VP8L codec — full-featured decode (prefix codes, LZ77,
-color cache, meta groups, all four transforms) + a literal-subset
-encoder; LOSSY VP8 pixel decode stays gated behind PIL (boolean
-arithmetic coding needs a codec lib). **Video is a REAL AVI container**
+color cache, meta groups, all four transforms; cross-validated
+byte-exact against libwebp both directions) + a literal-subset
+encoder; **LOSSY VP8 decodes for real** (round 5) through the system
+libwebp via ctypes (``webp_native.py``, gated — raises where no
+libwebp is loadable; pure-Python VP8 is impractical: boolean
+arithmetic coding plus ~2k RFC 6386 probability constants). **Video is a REAL AVI container**
 (round 3): RIFF 'AVI ' (``avi_codec.py`` — hdrl/strl headers, movi
 chunks, idx1 index; any player opens it) with uncompressed BGR24 DIB
 frames or, since round 4, **MJPG** — per-frame baseline JPEG via the
@@ -32,8 +35,8 @@ The legacy ``VID1`` frame stays accepted.
 
 Wire formats:
   image: PNG (RFC 2083 subset: 8-bit gray/RGB/RGBA); baseline JPEG;
-         GIF87a/89a (LZW, gif_codec.py); WebP VP8L (webp_codec.py,
-         lossy VP8 meta-only); or legacy
+         GIF87a/89a (LZW, gif_codec.py); WebP VP8L (webp_codec.py) and
+         lossy VP8 (webp_native.py, system libwebp); or legacy
          b"IMG1" + u16 w + u16 h + u8 channels + w*h*c payload bytes
   audio: RIFF/WAVE PCM16 mono, or legacy b"PCM1" + u32 sr + s16le samples
   video: RIFF/AVI, uncompressed DIB or MJPG (avi_codec.py); MP4/ISO-BMFF

@@ -4,9 +4,14 @@ Specification): LSB-first bit stream, canonical prefix codes (simple and
 code-length-coded), meta-prefix (entropy-image) code groups, LZ77
 backward references with the 2D distance neighborhood map, color cache,
 and all four transforms (predictor ×14 modes, cross-color,
-subtract-green, color-indexing incl. sub-byte pixel packing). Lossy VP8
-(boolean arithmetic coding) stays out of scope — that half still needs a
-codec lib; ``multimodal.webp_meta`` probes it without decoding.
+subtract-green, color-indexing incl. sub-byte pixel packing). The VP8L
+half is cross-validated byte-exact against libwebp in BOTH directions
+(libwebp-encoded streams through this decoder, this encoder's streams
+through libwebp — tests/test_webp_native.py). Lossy VP8 (boolean
+arithmetic coding) decodes through the system libwebp via ctypes
+(``webp_native.py``, round 5) and raises NotImplementedError where no
+libwebp is loadable; ``multimodal.webp_meta`` probes it without
+decoding either way.
 
 The encoder emits a deliberately simple-but-valid subset (literal-only,
 optional subtract-green, optional palette) used by any VP8L decoder —
@@ -576,25 +581,40 @@ def decode_vp8l(payload: bytes) -> tuple[np.ndarray, bool]:
 
 def decode_webp(b: bytes) -> np.ndarray:
     """WebP RIFF bytes → uint8 (h, w, 3) RGB or (h, w, 4) RGBA (alpha
-    kept when the stream hints it). Lossless (VP8L) only — lossy VP8
-    raises NotImplementedError (arithmetic coding needs a codec lib)."""
+    kept when the stream hints it). Lossless (VP8L) decodes pure-Python
+    (cross-validated byte-exact against libwebp both directions,
+    tests/test_webp_native.py); lossy VP8 decodes through the system
+    libwebp via ctypes (webp_native.py) and raises NotImplementedError
+    when no libwebp is loadable (arithmetic coding + ~2k RFC 6386
+    probability constants make a trustworthy pure-Python path
+    impractical; webp_meta still probes it without pixels)."""
     b = bytes(b)
     if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise ValueError("not a WebP (missing RIFF/WEBP header)")
     pos = 12
+    saw_alpha = False
     while pos + 8 <= len(b):
         cid, clen = struct.unpack_from("<4sI", b, pos)
         body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"VP8X" and clen >= 1:
+            saw_alpha |= bool(body[0] & 0x10)  # alpha flag
+        if cid == b"ALPH":
+            saw_alpha = True
         if cid == b"VP8L":
             argb, alpha_hint = decode_vp8l(body)
             a, r, g, bl = _split(argb)
             rgba = np.stack([r, g, bl, a], axis=-1).astype(np.uint8)
             return rgba if alpha_hint else rgba[..., :3]
         if cid == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 needs arithmetic decoding (codec lib); "
-                "webp_meta probes it without pixels"
-            )
+            from . import webp_native
+
+            if not webp_native.available():
+                raise NotImplementedError(
+                    "lossy VP8 needs the system libwebp (not loadable "
+                    "here); webp_meta probes it without pixels"
+                )
+            rgba = webp_native.decode_rgba(b)  # full RIFF: VP8X/ALPH too
+            return rgba if saw_alpha else rgba[..., :3]
         pos += 8 + clen + (clen & 1)
     raise ValueError("WebP has no VP8L/VP8 chunk")
 

@@ -463,8 +463,16 @@ def test_container_errors():
     with pytest.raises(ValueError, match="RIFF/WEBP"):
         decode_webp(b"nope" * 4)
     lossy = b"RIFF" + b"\x14\x00\x00\x00" + b"WEBP" + b"VP8 " + b"\x04\x00\x00\x00" + b"\x00" * 4
-    with pytest.raises(NotImplementedError, match="lossy VP8"):
-        decode_webp(lossy)
+    # a garbage VP8 body: libwebp (when loadable) rejects it as corrupt;
+    # without libwebp the lossy branch raises NotImplementedError
+    from mysql_syncer_spark.functions import webp_native
+
+    if webp_native.available():
+        with pytest.raises(ValueError, match="libwebp"):
+            decode_webp(lossy)
+    else:
+        with pytest.raises(NotImplementedError, match="lossy VP8"):
+            decode_webp(lossy)
     with pytest.raises(ValueError, match="0x2f"):
         decode_webp(wrap_vp8l(b"\x00\x01\x02"))
 
