@@ -603,6 +603,15 @@ def main() -> None:
                 "queries_estimator": f"median of {reps} runs",
                 "queries_samples": query_samples,
                 "replay": {
+                    # Retired as a scaling CLAIM in round 5 (kept as a
+                    # diagnostic): at ~15 s walls the shared host's window
+                    # noise dominates the measurement (round-3 replication
+                    # in BENCH/BASELINE.md saw raw efficiency swing
+                    # 0.29→0.64 between back-to-back runs of the same
+                    # binary). The authoritative scaling evidence is
+                    # replay_sf1 (10M events, ~90 s+ legs, paired sha2
+                    # ceiling) + replay_multi_batch.
+                    "role": "diagnostic",
                     "n_events": hi["events"],
                     "cores_n": n_cores,
                     "cores_4n": n4_cores,
@@ -702,6 +711,7 @@ def _compact(payload: dict) -> dict:
         "sf": payload["sf"],
         "queries": payload["queries"],
         "replay": {
+            "role": r.get("role"),
             "events_per_sec_4n": r.get("events_per_sec_4n"),
             "speedup_n_to_4n": r.get("speedup_n_to_4n"),
             "scaling_efficiency_n_to_4n": r.get("scaling_efficiency_n_to_4n"),

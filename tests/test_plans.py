@@ -222,6 +222,7 @@ def test_bench_compact_line_fits_driver_tail_capture():
         1, 4,
     )
     replay = {
+        "role": "diagnostic",
         "n_events": 1020000, "cores_n": 1, "cores_4n": 4,
         "events_per_sec_n": 6618.7, "events_per_sec_4n": 19139.5,
         "wall_sec_n": 154.11, "wall_sec_4n": 53.29,
@@ -265,6 +266,10 @@ def test_bench_compact_line_fits_driver_tail_capture():
     assert "efficiency_vs_sha2_ceiling" in got["replay_sf1"]
     assert "scaling_efficiency_n_to_4n" in got["replay_sf1"]["current_engine"]
     assert got["replay"]["scaling_efficiency_n_to_4n"]
+    # r5: the sf0.1 single-batch slot is retired as a scaling claim —
+    # the line must carry its diagnostic badge so a reader never takes
+    # its raw efficiency as the verdict (replay_sf1 is authoritative)
+    assert got["replay"]["role"] == "diagnostic"
     assert got["streaming"]["rows_per_sec"]
     # the full payload (attempts incl.) is preserved in the file artifact
     assert got["full"] == "BENCH/latest.json"
