@@ -70,18 +70,44 @@ def _spread_small_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+def _token_array(text: Column) -> Column:
+    """Distinct non-empty tokens of the normalized text as a per-row array
+    — the map-side twin of :func:`distinct_tokens` (same set semantics,
+    no explode)."""
+    return F.filter(
+        F.array_distinct(F.split(normalized(text), " ")), lambda t: t != ""
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
 ) -> DataFrame:
     """K-permutation MinHash via min(md5(seed||token)) — the md5 of a
     seeded token is a uniform 128-bit draw; the min over a doc's token set
-    is the classic MinHash estimator. Output: id, mh0..mh{k-1}."""
-    toks = distinct_tokens(_spread_small_scan(df), id_col, text_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"mh{i}|"), F.col("token")))).alias(f"mh{i}")
+    is the classic MinHash estimator. Output: id, mh0..mh{k-1}.
+
+    MAP-ONLY: the per-doc min is an ``array_min`` over the doc's own token
+    array, so no explode and no aggregation exchange exist at all — the
+    previous explode → groupBy(id) shape shuffled one partial row per
+    (doc, mapper) for zero semantic gain (the min is per-doc local).
+    Identical output: same token-set semantics (docs with an empty token
+    set emit nothing), same min-over-md5 values, same column order."""
+    def _seeded(i: int):
+        seed = F.lit(f"mh{i}|")
+        # single-parameter lambda: a 2-arg lambda would be treated as the
+        # (element, index) form by transform()
+        return lambda t: F.md5(F.concat(seed, t))
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("_toks"), _seeded(i))).alias(f"mh{i}")
         for i in range(k)
     ]
-    return toks.groupBy(id_col).agg(*aggs)
+    return (
+        _spread_small_scan(df)
+        .select(F.col(id_col), _token_array(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(id_col, *sig_cols)
+    )
 
 
 def minhash_bands(
@@ -101,6 +127,57 @@ def minhash_bands(
     return signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, "bk.band", "bk.key")
+
+
+def _banded_keys(
+    signatures: DataFrame, id_col: str, k: int, bands: int
+) -> DataFrame:
+    """(id, _keys, band, key) — the band keys of :func:`minhash_bands`
+    with the per-doc key ARRAY carried alongside each exploded row, so a
+    downstream self-join can test "did any EARLIER band already match"
+    without a second lookup."""
+    rows_per_band = k // bands
+    key_exprs = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        )
+        for b in range(bands)
+    ]
+    return (
+        signatures.select(F.col(id_col), F.array(*key_exprs).alias("_keys"))
+        .select(id_col, "_keys", F.posexplode("_keys").alias("band", "key"))
+    )
+
+
+def _first_band_pairs(
+    keyed: DataFrame, id_col: str, bands: int
+) -> DataFrame:
+    """Ordered candidate pairs (a.id < b.id) from the banded self-join,
+    emitted EXACTLY ONCE per pair: a pair colliding in several bands is
+    kept only at its first (minimum) matching band — for every earlier
+    band the carried key arrays must differ. This replaces the
+    join → ``distinct()`` shape: the distinct re-shuffled every raw match
+    (4 bands of a near-dup cluster ⇒ ~4x the distinct output) just to
+    drop duplicates this filter removes map-side for free.
+    Output columns: doc_a, doc_b (same set as distinct-of-all-matches)."""
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for j in range(bands - 1):
+        # band keys are md5 strings (never null), so != is total
+        cond = cond & (
+            (F.col("a.band") <= j)
+            | (F.col("a._keys")[j] != F.col("b._keys")[j])
+        )
+    return a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+    )
 
 
 def incremental_near_duplicates(
@@ -127,12 +204,18 @@ def incremental_near_duplicates(
     new doc with the smaller id), src ('index' | 'batch'), distinct.
     Candidates only — verify with exact Jaccard downstream exactly as in
     :func:`verified_near_duplicates`; accepted survivors' bands get
-    appended to the index."""
+    appended to the index.
+
+    The within-batch side emits each pair once via the first-matching-band
+    filter (:func:`_first_band_pairs`) instead of a global ``distinct()``;
+    only the (small, touched-bucket) index side still dedups. The two pair
+    spaces are disjoint (index docs are prior batches), so the union needs
+    no further distinct — same output rows, one big exchange fewer."""
     sigs = minhash_signatures(new_docs, id_col, text_col, k).localCheckpoint(
         eager=False
     )
-    banded = minhash_bands(sigs, id_col=id_col, k=k, bands=bands)
-    n = banded.alias("n")
+    keyed = _banded_keys(sigs, id_col, k, bands)
+    n = keyed.alias("n")
     ix = band_index.alias("ix")
     vs_index = (
         n.join(
@@ -142,24 +225,15 @@ def incremental_near_duplicates(
         .select(
             F.col(f"n.{id_col}").alias("doc_id"),
             F.col(f"ix.{id_col}").alias("dup_of"),
-            F.lit("index").alias("src"),
         )
+        .distinct()
+        .withColumn("src", F.lit("index"))
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    vs_batch = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_id"),
-            F.col(f"b.{id_col}").alias("dup_of"),
-            F.lit("batch").alias("src"),
-        )
-    )
-    return vs_index.unionByName(vs_batch).distinct()
+    vs_batch = _first_band_pairs(keyed, id_col, bands).select(
+        F.col("doc_a").alias("dup_of"),  # earlier (smaller) id
+        F.col("doc_b").alias("doc_id"),
+    ).select("doc_id", "dup_of", F.lit("batch").alias("src"))
+    return vs_index.unionByName(vs_batch)
 
 
 def lsh_candidate_pairs(
@@ -169,29 +243,23 @@ def lsh_candidate_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Band the signature (rows_per_band = k/bands), bucket-join docs that
-    collide in ANY band. Output: doc_a < doc_b candidate pairs (distinct).
+    collide in ANY band. Output: doc_a < doc_b candidate pairs (distinct —
+    guaranteed structurally, see below).
 
     The signature table is localCheckpoint-ed (lazily — laziness of the
     returned plan is preserved) before the self-join: otherwise BOTH join
     sides re-run the full signature lineage (tokenize + k hashes over the
     corpus). At scale you'd persist signatures to a table first; the
-    checkpoint is the in-query equivalent."""
+    checkpoint is the in-query equivalent.
+
+    A pair colliding in several bands is emitted only at its FIRST
+    matching band (:func:`_first_band_pairs`), which makes the output
+    duplicate-free by construction — the previous ``distinct()`` was a
+    full extra exchange of every raw band match (near-dup clusters match
+    in all bands, so ~``bands``x the final pair count) and is gone."""
     signatures = signatures.localCheckpoint(eager=False)
-    banded = minhash_bands(signatures, id_col=id_col, k=k, bands=bands)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .distinct()
-    )
+    keyed = _banded_keys(signatures, id_col, k, bands)
+    return _first_band_pairs(keyed, id_col, bands)
 
 
 def ngram_jaccard_pairs(
@@ -332,25 +400,35 @@ def verified_near_duplicates(
     the plain ``ngram_jaccard_pairs`` blocking (exact length) cannot be:
     candidates come from content similarity, so near-dups of different
     lengths are found, and the verify join touches candidate pairs only.
-    Output: doc_a, doc_b, n_inter, n_a, n_b, jaccard (rounded 4)."""
+    Output: doc_a, doc_b, n_inter, n_a, n_b, jaccard (rounded 4).
+
+    The verify attaches each side's DISTINCT-TOKEN ARRAY to the candidate
+    pair (two equi-joins — the per-doc array table is tiny next to the
+    pair table and broadcasts) and intersects map-side
+    (``array_intersect``), instead of exploding tokens and re-aggregating
+    per pair: the old shape shuffled O(pairs x tokens/doc) rows through
+    two exchanges; this one shuffles nothing beyond the pair join itself.
+    Values are identical: same distinct-token sets, same counts, same
+    rounding; ``n_inter >= 1`` keeps the old inner-join behavior of never
+    emitting zero-overlap pairs."""
     sigs = minhash_signatures(df, id_col, text_col, k)
     pairs = lsh_candidate_pairs(sigs, id_col, k, bands)
-    toks = distinct_tokens(df, id_col, text_col)
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = (
-        pairs.join(a, pairs.doc_a == F.col(f"a.{id_col}"))
-        .join(
-            b,
-            (pairs.doc_b == F.col(f"b.{id_col}"))
-            & (F.col("a.token") == F.col("b.token")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    toks = df.select(
+        F.col(id_col), _token_array(F.col(text_col)).alias("_toks")
+    ).localCheckpoint(eager=False)
+    ta = toks.select(F.col(id_col).alias("doc_a"), F.col("_toks").alias("_ta"))
+    tb = toks.select(F.col(id_col).alias("doc_b"), F.col("_toks").alias("_tb"))
     out = (
-        inter.join(sizes.withColumnsRenamed({id_col: "doc_a", "n_tok": "n_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_tok": "n_b"}), "doc_b")
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_ta", "_tb")).cast("long").alias("n_inter"),
+            F.size("_ta").cast("long").alias("n_a"),
+            F.size("_tb").cast("long").alias("n_b"),
+        )
+        .filter(F.col("n_inter") >= 1)
         .withColumn(
             "jaccard",
             F.round(

@@ -42,9 +42,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mysql_syncer_spark.functions.dedup_text import (
-    distinct_tokens,
-    incremental_near_duplicates,
-    minhash_bands,
+    _banded_keys,
+    _first_band_pairs,
+    _token_array,
     minhash_signatures,
 )
 from mysql_syncer_spark.sink.pages_table import CommitConflictError
@@ -57,38 +57,62 @@ def _verified_reject_ids(
     """doc_ids whose candidate pair survives EXACT token-set Jaccard >=
     threshold. ``union_docs`` holds the text of both endpoints (new batch
     + only the MATCHED accepted docs — the verify read is O(candidates),
-    never O(corpus)). Same verify join as verified_near_duplicates."""
-    toks = distinct_tokens(union_docs, id_col, text_col).localCheckpoint(
-        eager=False
+    never O(corpus)). Verify semantics match verified_near_duplicates:
+    the per-doc distinct-token ARRAY attaches to each pair (two equi-joins
+    against the small per-doc array table — broadcastable) and the
+    intersection is computed map-side with ``array_intersect``, instead of
+    exploding O(pairs x tokens/doc) rows through two exchanges. The pass
+    condition (same integer counts, same double division) is unchanged.
+
+    The rejection is an EXISTS, not a pair report, so it runs as a
+    two-round cascade: round 1 verifies each doc against only its MINIMUM
+    candidate (one pair per doc — in a template-cluster corpus this
+    already rejects nearly everything); only docs round 1 did not reject
+    verify their remaining candidates in round 2. The union of the two
+    pass sets is EXACTLY the all-pairs reject set (existence is monotone
+    over candidate subsets), but the all-pairs verify volume — O(cluster
+    size) pairs per clustered doc — collapses to O(docs) + leftovers."""
+    toks = union_docs.select(
+        F.col(id_col), _token_array(F.col(text_col)).alias("_toks")
+    ).localCheckpoint(eager=False)
+    ta = toks.select(F.col(id_col).alias("_id"), F.col("_toks").alias("_ta"))
+    tb = toks.select(F.col(id_col).alias("dup_of"), F.col("_toks").alias("_tb"))
+
+    def passing(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(ta, "_id")
+            .join(tb, "dup_of")
+            .select(
+                "_id",
+                F.size(F.array_intersect("_ta", "_tb")).alias("n_inter"),
+                F.size("_ta").alias("n_a"),
+                F.size("_tb").alias("n_b"),
+            )
+            .filter(
+                (F.col("n_inter") >= 1)
+                & (
+                    F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                    >= threshold
+                )
+            )
+            .select("_id")
+            .distinct()
+        )
+
+    c = cands.select(F.col(id_col).alias("_id"), "dup_of")
+    # round 1: one pair per doc (min partner), partial-agg'd map-side
+    first = c.groupBy("_id").agg(F.min("dup_of").alias("dup_of"))
+    r1 = passing(first).localCheckpoint(eager=False)  # reused twice below
+    # round 2: remaining pairs of still-undecided docs only
+    rest = (
+        c.join(r1, "_id", "left_anti")
+        .join(first, ["_id", "dup_of"], "left_anti")
+        .distinct()
     )
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
-    a, b = toks.alias("a"), toks.alias("b")
-    pairs = cands.select(id_col, "dup_of").distinct()
-    inter = (
-        pairs.join(a, pairs[id_col] == F.col(f"a.{id_col}"))
-        .join(
-            b,
-            (pairs.dup_of == F.col(f"b.{id_col}"))
-            & (F.col("a.token") == F.col("b.token")),
-        )
-        .groupBy(pairs[id_col].alias("_id"), "dup_of")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    out = (
-        inter.join(
-            sizes.withColumnsRenamed({id_col: "_id", "n_tok": "n_a"}), "_id"
-        )
-        .join(
-            sizes.withColumnsRenamed({id_col: "dup_of", "n_tok": "n_b"}),
-            "dup_of",
-        )
-        .filter(
-            F.col("n_inter")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            >= threshold
-        )
-    )
-    return out.select(F.col("_id").alias(id_col)).distinct()
+    r2 = passing(rest)
+    # r2 excludes r1 ids by construction — the union is duplicate-free
+    return r1.unionByName(r2).select(F.col("_id").alias(id_col))
 
 
 @dataclass
@@ -231,14 +255,31 @@ class CorpusTable:
         if batch_id in m.committed_batches:
             return {"batch_id": batch_id, "skipped": True}
         docs = docs.select(m.id_col, m.text_col)
-        cands = incremental_near_duplicates(
-            docs,
-            self.band_index(m),
-            id_col=m.id_col,
-            text_col=m.text_col,
-            k=m.k,
-            bands=m.bands,
+        # Signatures and band keys are computed ONCE and shared by the
+        # candidate joins AND the accepted-band append below (the old
+        # shape re-signatured the accepted docs from raw text). Same
+        # candidate semantics as incremental_near_duplicates: index
+        # equi-join + first-matching-band within-batch self-join.
+        sigs = minhash_signatures(
+            docs, m.id_col, m.text_col, m.k
+        ).localCheckpoint(eager=False)
+        keyed = _banded_keys(sigs, m.id_col, m.k, m.bands)
+        n, ix = keyed.alias("n"), self.band_index(m).alias("ix")
+        vs_index = (
+            n.join(
+                ix,
+                (F.col("n.band") == F.col("ix.band"))
+                & (F.col("n.key") == F.col("ix.key")),
+            )
+            .select(
+                F.col(f"n.{m.id_col}").alias(m.id_col),
+                F.col(f"ix.{m.id_col}").alias("dup_of"),
+            )
         )
+        vs_batch = _first_band_pairs(keyed, m.id_col, m.bands).select(
+            F.col("doc_b").alias(m.id_col), F.col("doc_a").alias("dup_of")
+        )
+        cands = vs_index.unionByName(vs_batch)
         if m.verify_jaccard is not None:
             cands = cands.localCheckpoint(eager=False)
             matched = cands.select(
@@ -257,12 +298,9 @@ class CorpusTable:
         accepted = docs.join(reject, m.id_col, "left_anti")
         # one pass over the accepted docs computes both outputs
         accepted = accepted.localCheckpoint(eager=False)
-        bands_df = minhash_bands(
-            minhash_signatures(accepted, m.id_col, m.text_col, m.k),
-            id_col=m.id_col,
-            k=m.k,
-            bands=m.bands,
-        )
+        bands_df = keyed.join(
+            accepted.select(m.id_col), m.id_col, "left_semi"
+        ).select(m.id_col, "band", "key")
         drel = os.path.join("docs", f"{batch_id}.parquet")
         brel = os.path.join("bands", f"{batch_id}.parquet")
         accepted.write.mode("overwrite").parquet(os.path.join(self.path, drel))
@@ -277,7 +315,10 @@ class CorpusTable:
             )
             m.band_files = [crel]
         n_total = docs.count()
-        n_acc = self.spark.read.parquet(os.path.join(self.path, drel)).count()
+        # the checkpointed accepted partitions are already materialized by
+        # the write above — this count reuses them (no re-read of the
+        # just-written parquet, one fewer scan job per batch)
+        n_acc = accepted.count()
         # optimistic concurrency (same protocol as the pages sink): claim
         # the next version; on a lost race, rebase on the fresh manifest —
         # if the racer committed this very batch, we are a no-op; else our
