@@ -1107,8 +1107,44 @@ class PagesTable:
         if probed and not events_in:
             pass  # heartbeat batch: no write job at all
         else:
+            src = wb
+            if probed:
+                nk_total = int(sum(min(r["nk"], r["n"]) for r in stats))
+                if (
+                    dup_share >= cfg.prefilter_min_dup_share
+                    and 0 < nk_total <= cfg.prefilter_max_keys
+                ):
+                    # Winner pre-filter (guide-§8 shape: decide on keys,
+                    # move payloads once): the winning rank per key comes
+                    # from a column-pruned scan (Catalyst prunes to the
+                    # key + order columns), broadcasts, and drops losing
+                    # rows BEFORE the payload exchange. The final max_by
+                    # still runs over the surviving argmax set, so ties
+                    # resolve exactly as before.
+                    from ..operators.dedup import rank_struct  # local: cycle
+
+                    rank = rank_struct(
+                        wb, ["_lww_ts_us", "_lww_file", "_lww_pos"]
+                    )
+                    winners = wb.groupBy(*cfg.key_columns).agg(
+                        F.max(rank).alias("_pf_rank")
+                    )
+                    winners = winners.select(
+                        *[
+                            F.col(k).alias(f"_pf_{k}")
+                            for k in cfg.key_columns
+                        ],
+                        "_pf_rank",
+                    )
+                    cond = rank == F.col("_pf_rank")
+                    for k in cfg.key_columns:
+                        cond &= F.col(k).eqNullSafe(F.col(f"_pf_{k}"))
+                    src = (
+                        wb.join(F.broadcast(winners), cond)
+                        .drop("_pf_rank", *[f"_pf_{k}" for k in cfg.key_columns])
+                    )
             merged = self._bucket_merge(
-                wb, list(cfg.key_columns), use_salted, cfg.salt_buckets
+                src, list(cfg.key_columns), use_salted, cfg.salt_buckets
             )
             if cfg.transform is not None:
                 merged = cfg.transform(merged)
