@@ -118,29 +118,22 @@ def plan_batches(
     return [(seq, None) for seq in seqs]
 
 
-def _ddl_index_from_footers(
-    event_dir: str, table_name: str
-) -> dict[str, list[dict]] | None:
-    """Batch-id → DDL rows from the writers' parquet footer metadata
-    (``msss.ddl`` key, one entry per binlog file). Returns None when ANY
-    binlog file lacks the key — a foreign log must take the scan path,
-    else its DDL would silently never apply. Applies the same filters
-    the scan path applies: table ownership (F1) and the oversized-DDL
-    cap (F3, 2×RS_SQL_MAX_LEN — reference
+def ddl_rows_from_footers(
+    paths: list[str], table_name: str
+) -> list[dict] | None:
+    """Flat DDL rows for the given binlog parquet files, read from the
+    writers' footer metadata (``msss.ddl``), in (file_seq, in-file) order.
+    Returns None when ANY file lacks the key — a foreign log must take
+    the scan path, else its DDL would silently never apply. Applies the
+    same filters the scan path applies: table ownership (F1) and the
+    oversized-DDL cap (F3, 2×RS_SQL_MAX_LEN — reference
     /root/reference/src/master/rs_parse_binlog.c:128-131)."""
     import json as _json
 
     import pyarrow.parquet as pq
 
-    files = sorted(
-        os.path.join(event_dir, fn)
-        for fn in os.listdir(event_dir)
-        if _BINLOG_RE.search(fn)
-    )
-    if not files:
-        return None
-    index: dict[str, list[dict]] = {}
-    for path in files:
+    rows: list[dict] = []
+    for path in sorted(paths):
         try:
             meta = pq.read_schema(path).metadata or {}
         except Exception:
@@ -156,7 +149,28 @@ def _ddl_index_from_footers(
                 > 2048
             ):
                 continue  # oversized DDL (F3 cap), like the scan path
-            index.setdefault(f"fileseq-{d['file_seq']}", []).append(d)
+            rows.append(d)
+    return rows
+
+
+def _ddl_index_from_footers(
+    event_dir: str, table_name: str
+) -> dict[str, list[dict]] | None:
+    """Batch-id → DDL rows from the writers' parquet footer metadata
+    (one entry per binlog file); see :func:`ddl_rows_from_footers`."""
+    files = sorted(
+        os.path.join(event_dir, fn)
+        for fn in os.listdir(event_dir)
+        if _BINLOG_RE.search(fn)
+    )
+    if not files:
+        return None
+    rows = ddl_rows_from_footers(files, table_name)
+    if rows is None:
+        return None
+    index: dict[str, list[dict]] = {}
+    for d in rows:
+        index.setdefault(f"fileseq-{d['file_seq']}", []).append(d)
     return index
 
 

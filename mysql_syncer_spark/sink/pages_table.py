@@ -568,8 +568,15 @@ class PagesTable:
         server_id: int | None = None,
         carry_salted: bool | None = None,
         ddls: list[dict] | None = None,
+        inline_compact: bool = True,
     ) -> dict:
         """Apply one micro-batch of CDC events. Idempotent on ``batch_id``.
+
+        ``inline_compact=False``: skip the synchronous threshold fold in
+        this commit — for callers that run compaction on a maintenance
+        thread and land its result as a separate commit
+        (streaming/runner.py), so the table-sized fold never sits inside
+        a micro-batch trigger.
 
         ``carry_salted``: a caller that streams many batches (plans/replay
         serial loop, foreachBatch) can carry the skew planner's previous
@@ -643,6 +650,7 @@ class PagesTable:
         )
         res = self._commit_batch(
             m, bid, delta, n_ddl, t0, mark,
+            inline_compact=inline_compact,
             rebase=lambda fm: [self._apply_ddl(fm, d) for d in ddls],
         )
         if profile:
@@ -1304,6 +1312,17 @@ class PagesTable:
             m.buckets[b] = kept + [d]
             m.lineage[b] = {"batch_id": bid, "rows": crows.get(b, 0)}
 
+    def async_compactor(self) -> "AsyncCompactor":
+        """Maintenance-thread threshold compaction for single-batch
+        callers (the streaming foreachBatch sink): the same async
+        schedule → compute-over-frozen-snapshot → fold pattern
+        ``apply_batches_pipelined`` runs inline, but the fold lands as
+        its OWN maintenance commit between micro-batches, so the
+        table-sized merge never executes inside a trigger. Call
+        ``tick()`` after every committed batch; ``close()`` when the
+        stream stops (a pending compute is drained and committed)."""
+        return AsyncCompactor(self)
+
     def compact(self, buckets: list[int] | None = None) -> dict:
         """Maintenance compaction (Iceberg ``rewrite_data_files`` parity):
         fold delta vintages into one file per bucket in a new atomic
@@ -1754,3 +1773,88 @@ class PagesTable:
                 if m.get("metrics"):
                     out.append(m["metrics"])
         return out
+
+
+class AsyncCompactor:
+    """Off-trigger threshold compaction (see PagesTable.async_compactor).
+
+    Exactly-once safety mirrors the pipelined path: the compute reads a
+    FROZEN committed vintage snapshot (LWW merge-on-read makes folding any
+    vintage subset order-insensitive), and the fold rewrites only bucket
+    lists that still contain the folded dirs — a crash between compute
+    and fold leaves unreferenced orphan dirs (vacuum territory), never a
+    wrong manifest."""
+
+    def __init__(self, table: PagesTable):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._table = table
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._fut = None
+
+    def tick(self) -> int:
+        """Fold a finished compute into its own maintenance commit, then
+        schedule a new compute if any bucket is past threshold. Returns
+        the number of buckets folded this call (telemetry)."""
+        folded = self._fold_if_ready()
+        self._schedule_if_needed()
+        return folded
+
+    def close(self) -> None:
+        """Drain: wait for an in-flight compute and commit its fold."""
+        if self._fut is not None:
+            self._fut.result()
+            self._fold_if_ready()
+        self._pool.shutdown(wait=True)
+
+    def _fold_if_ready(self) -> int:
+        fut = self._fut
+        if fut is None or not fut.done():
+            return 0
+        snapshot, cdirs, crows = fut.result()
+        self._fut = None
+        if not cdirs:
+            return 0
+        t = self._table
+        while True:
+            m = t.manifest()
+            n = 0
+            for b, old in snapshot.items():
+                if b not in cdirs:
+                    continue
+                cur = m.buckets.get(b, [])
+                if not all(x in cur for x in old):
+                    continue  # a racer already folded these vintages
+                tail = [x for x in cur if x not in old]
+                m.buckets[b] = [cdirs[b]] + tail
+                m.lineage[b] = {
+                    "batch_id": f"compact-v{m.version + 1}",
+                    "rows": crows.get(b, 0),
+                }
+                n += 1
+            if n == 0:
+                return 0
+            m.version += 1
+            try:
+                t._commit(m)
+                return n
+            except CommitConflictError:
+                continue  # re-read and re-apply onto the fresh manifest
+
+    def _schedule_if_needed(self) -> None:
+        if self._fut is not None:
+            return
+        t = self._table
+        m = t.manifest()
+        over = [
+            b for b, lst in m.buckets.items() if len(lst) > m.compact_threshold
+        ]
+        if not over:
+            return
+        fold_map = t._plan_fold(m, over)
+        if not fold_map:
+            return
+        frozen = Manifest.from_json(m.to_json())
+        self._fut = self._pool.submit(
+            t._compact_compute, frozen, list(fold_map), fold_map=fold_map
+        )

@@ -78,6 +78,54 @@ def start_streaming_replay(
     # decision, re-probe on duplicate-share signal edges — the same
     # amortization the batch paths use; one Spark job per steady micro-batch
     planner = {"last_probe_share": None, "salted": False, "latest": None}
+    # threshold compaction runs on a maintenance thread and commits
+    # between micro-batches — the trigger never pays the table-sized fold
+    # (the cause of the round-5 p95 spikes: a fold landing INSIDE a
+    # micro-batch tripled its latency)
+    compactor = table.async_compactor()
+
+    def _batch_source_files(batch_id: int) -> list[str]:
+        """The trigger's input files from the FileStreamSource metadata
+        log (``<checkpoint>/sources/0/<batchId>``) — a driver-side file
+        read, no Spark job. Entries may live in a ``.compact`` rollup
+        instead; both carry per-entry batchIds."""
+        import json as _json
+
+        d = os.path.join(checkpoint_dir, "sources", "0")
+        out: list[str] = []
+        for fn in (str(batch_id), f"{batch_id}.compact"):
+            p = os.path.join(d, fn)
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line.startswith("{"):
+                        continue
+                    e = _json.loads(line)
+                    if fn.endswith(".compact") and e.get("batchId") != batch_id:
+                        continue
+                    path = e.get("path", "")
+                    if path.startswith("file:"):
+                        path = path[len("file:"):]
+                    out.append(path)
+            break
+        return out
+
+    def _footer_ddls(batch_id: int) -> list | None:
+        """Micro-batch DDL rows from the source files' parquet footers —
+        skips the per-batch DDL collect job entirely when every file in
+        the trigger carries the writer's ``msss.ddl`` index (same filters
+        as the scan path; foreign logs return None and fall back)."""
+        from ..plans.replay import _BINLOG_RE, ddl_rows_from_footers
+
+        try:
+            files = _batch_source_files(batch_id)
+        except Exception:
+            return None
+        if not files or not all(_BINLOG_RE.search(f) for f in files):
+            return None
+        return ddl_rows_from_footers(files, cfg.name)
 
     def apply(batch_df, batch_id: int) -> None:
         # batchId is stable across checkpointed restarts → the ledger key.
@@ -100,13 +148,20 @@ def start_streaming_replay(
         else:
             carry = planner["salted"]
         res = table.apply_batch(
-            f"stream-{batch_id}", batch_df, cfg, carry_salted=carry
+            f"stream-{batch_id}", batch_df, cfg, carry_salted=carry,
+            ddls=(
+                None
+                if transform is not None or source is not None
+                else _footer_ddls(batch_id)
+            ),
+            inline_compact=False,
         )
         if not res.get("skipped"):
             if res.get("skew_probed"):
                 planner["last_probe_share"] = res.get("dup_share")
                 planner["salted"] = bool(res.get("salted_merge"))
             planner["latest"] = res.get("dup_share")
+            compactor.tick()
 
     stream = (
         source
@@ -134,6 +189,10 @@ def start_streaming_replay(
         spark.streams.addListener(listener)
     q = writer.start()
     q._msss_listener = listener
+    # callers that stop the query directly should drain this (a pending
+    # fold is committed; a never-drained one only leaves vacuumable
+    # orphans) — run_streaming_replay does it automatically
+    q._msss_compactor = compactor
     return q
 
 
@@ -169,6 +228,8 @@ def run_streaming_replay(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+    if getattr(q, "_msss_compactor", None) is not None:
+        q._msss_compactor.close()
     if q._msss_listener is not None:
         # the listener bus is async but ORDERED: once this query's
         # terminated event lands in the log, every progress line before
