@@ -463,11 +463,15 @@ def simhash(
             for g in range(2)
         ],
     )
+    # branch-free votes: bit∈{0,1} → 2*bit-1 ∈ {-1,+1}, same sum as the
+    # when/otherwise form but pure integer arithmetic in the agg loop
     votes = [
         F.sum(
-            F.when(
-                F.shiftright(F.col(f"v{i // 32}"), i % 32).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+            F.shiftright(F.col(f"v{i // 32}"), i % 32)
+            .bitwiseAND(F.lit(1))
+            .cast("long")
+            * 2
+            - 1
         ).alias(f"b{i}")
         for i in range(64)
     ]
@@ -611,18 +615,19 @@ def span_fingerprints(
         .filter(F.length("_txt") >= width)
     )
     txt = F.col("_txt")
-
-    def is_anchor(i: Column) -> Column:
-        gram = F.substring(txt, i + 1, F.lit(anchor_k))
-        h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
-        return h % anchor_mod == 0
-
-    anchors = F.filter(
-        F.sequence(F.lit(0), F.length(txt) - width), is_anchor
+    # explode positions FIRST, then hash in the codegen'd pipeline: the
+    # previous higher-order-function filter evaluated the per-position
+    # md5 through the interpreted lambda path (HOFs sit outside
+    # whole-stage codegen), which was ~2-3x slower for the same hash
+    # count; explode + filter + md5 all fuse into one codegen stage.
+    pos_df = base.select(
+        F.col(id_col),
+        txt,
+        F.explode(F.sequence(F.lit(0), F.length(txt) - width)).alias("pos"),
     )
-    return base.select(
-        F.col(id_col), F.explode(anchors).alias("pos"), txt
-    ).select(
+    gram = F.substring(txt, F.col("pos") + 1, F.lit(anchor_k))
+    anchor_hash = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    return pos_df.filter(anchor_hash % anchor_mod == 0).select(
         F.col(id_col),
         F.col("pos"),
         F.md5(F.substring(txt, F.col("pos") + 1, F.lit(width))).alias("fp"),

@@ -144,6 +144,7 @@ def with_lsh_bands(
     n_bands: int = 2,
     seed: int = 42,
     vec_col: str = "embedding",
+    keep_keys: bool = False,
 ) -> DataFrame:
     """OR-amplified banded LSH: the planes split into ``n_bands`` contiguous
     groups; each vector emits one (band, key) row per band (posexplode).
@@ -151,7 +152,9 @@ def with_lsh_bands(
     the standard OR-amplification that removes the single-bucket recall
     hole (a near-dup pair straddling one hyperplane still agrees on the
     bands that exclude that plane). All keys come from ONE numpy matmul
-    per Arrow batch."""
+    per Arrow batch. ``keep_keys=True`` additionally carries the full
+    per-vector key array (``_band_keys``) on every exploded row, for
+    consumers needing cross-band state (first-matching-band pairing)."""
     planes = make_hyperplanes(dim, n_planes, seed)
     slices = band_plane_slices(n_planes, n_bands)
 
@@ -166,9 +169,10 @@ def with_lsh_bands(
         stacked = np.stack(keys, axis=1)  # (batch, n_bands)
         return pd.Series(list(stacked))
 
-    return df.withColumn("_band_keys", keys_udf(F.col(vec_col))).select(
+    out = df.withColumn("_band_keys", keys_udf(F.col(vec_col))).select(
         "*", F.posexplode("_band_keys").alias("band", "key")
-    ).drop("_band_keys")
+    )
+    return out if keep_keys else out.drop("_band_keys")
 
 
 def lsh_cosine_pairs(
@@ -185,26 +189,30 @@ def lsh_cosine_pairs(
     generation (equi-join on (band, key) — never all-pairs) followed by
     exact cosine verification of only the candidates. Output: id_a < id_b,
     sim_r (rounded 4)."""
-    banded = with_lsh_bands(df, dim, n_planes, n_bands, seed, vec_col).select(
-        id_col, "band", "key"
-    )
+    banded = with_lsh_bands(
+        df, dim, n_planes, n_bands, seed, vec_col, keep_keys=True
+    ).select(id_col, "_band_keys", "band", "key")
     # pin the banded keys before the self-join: without this the
     # hyperplane UDF re-evaluates once per join side (ReuseExchange MAY
     # rescue the plan, but that is luck, not a guarantee) — mirrors the
     # MinHash twin in dedup_text.lsh_candidate_pairs
     banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # first-matching-band emission (same trick as dedup_text
+    # _first_band_pairs): a pair is kept only in its minimum matching
+    # band, so the output is duplicate-free without a distinct exchange
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for j in range(n_bands - 1):
+        cond = cond & (
+            (F.col("a.band") <= j)
+            | (F.col("a._band_keys")[j] != F.col("b._band_keys")[j])
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    cand = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
     )
     v = df.select(
         F.col(id_col),
