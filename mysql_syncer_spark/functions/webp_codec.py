@@ -596,7 +596,10 @@ def decode_webp(b: bytes) -> np.ndarray:
     while pos + 8 <= len(b):
         cid, clen = struct.unpack_from("<4sI", b, pos)
         body = b[pos + 8 : pos + 8 + clen]
-        if cid == b"VP8X" and clen >= 1:
+        if cid == b"VP8X" and len(body) >= 1:
+            # len(body) not clen: a truncated file whose declared clen
+            # overruns the buffer must raise ValueError below, not
+            # IndexError here (ADVICE r5)
             saw_alpha |= bool(body[0] & 0x10)  # alpha flag
         if cid == b"ALPH":
             saw_alpha = True

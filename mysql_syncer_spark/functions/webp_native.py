@@ -107,10 +107,11 @@ def _require() -> ctypes.CDLL:
 
 
 def _as_ubyte_p(b: bytes) -> ctypes.POINTER(ctypes.c_ubyte):
-    return ctypes.cast(
-        ctypes.create_string_buffer(b, len(b)),
-        ctypes.POINTER(ctypes.c_ubyte),
-    )
+    # zero-copy view of the caller's bytes: libwebp only READS the buffer
+    # and every call site keeps ``b`` alive for the call's duration, so
+    # the previous create_string_buffer copy (a full extra copy of each
+    # media blob per decode on the executor hot path) is unnecessary
+    return ctypes.cast(ctypes.c_char_p(b), ctypes.POINTER(ctypes.c_ubyte))
 
 
 def webp_info(b: bytes) -> tuple[int, int]:
